@@ -1,0 +1,11 @@
+"""Test config: run everything on a fake 8-device CPU mesh.
+
+Mirrors the standard JAX technique recommended in SURVEY.md §4.5 so that
+data-parallel sharding is exercised without TPU hardware.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
