@@ -1,0 +1,115 @@
+"""Batched triangle mesh pytree with capacity-bounded validity masks.
+
+Reference: the `Mesh` class + `make_mesh`/`auto_normals`/`compute_tangents`
+(`/root/reference/model/render/mesh.py:21-375`). Differences by design:
+
+  * vertices are batched (B, V, 3) with *shared* connectivity (F, 3), exactly
+    like the reference (`make_mesh` asserts faces batch == 1,
+    `mesh.py:369-371`), but V and F here are static capacities with validity
+    masks (`v_valid`, `f_valid`) coming from the static-shape marching tets;
+  * invalid faces are (0,0,0)-degenerate and contribute nothing to normals or
+    rasterization;
+  * tangents are not computed: the training path hard-sets
+    `perturbed_nrm = None` (`render.py:71`), so tangent frames are never
+    consumed; `v_tng` is provided as a constant frame for buffer parity.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def safe_normalize(x: jax.Array, eps: float = 1e-20) -> jax.Array:
+    return x / jnp.sqrt(jnp.maximum(jnp.sum(x * x, -1, keepdims=True), eps))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Mesh:
+    v_pos: jax.Array                 # (B, V, 3)
+    t_pos_idx: jax.Array             # (F, 3) int32, shared across batch
+    v_valid: jax.Array               # (V,) bool
+    f_valid: jax.Array               # (F,) bool
+    num_verts: jax.Array             # () int32
+    num_faces: jax.Array             # () int32
+    v_nrm: Optional[jax.Array] = None        # (B, V, 3)
+    v_tex: Optional[jax.Array] = None        # (B, V, 3) canonical-space pos
+    face_gidx: Optional[jax.Array] = None    # (F,) int32 static global face id
+
+    @property
+    def batch_size(self) -> int:
+        return self.v_pos.shape[0]
+
+    def deform(self, deformation: jax.Array) -> "Mesh":
+        """Apply a per-vertex offset (B, V, 3); masked to valid vertices."""
+        offs = jnp.where(self.v_valid[None, :, None], deformation, 0.0)
+        return dataclasses.replace(self, v_pos=self.v_pos + offs)
+
+    def with_positions(self, v_pos: jax.Array) -> "Mesh":
+        return dataclasses.replace(self, v_pos=v_pos)
+
+    def extend(self, n: int) -> "Mesh":
+        """Repeat batch entries n times (B → B*n), like mesh.extend."""
+        rep = lambda a: (jnp.repeat(a, n, axis=0) if a is not None and a.ndim == 3
+                         else a)
+        return dataclasses.replace(
+            self, v_pos=rep(self.v_pos), v_nrm=rep(self.v_nrm), v_tex=rep(self.v_tex))
+
+    def first_n(self, n: int) -> "Mesh":
+        take = lambda a: (a[:n] if a is not None and a.ndim == 3 else a)
+        return dataclasses.replace(
+            self, v_pos=take(self.v_pos), v_nrm=take(self.v_nrm), v_tex=take(self.v_tex))
+
+    def get_n(self, i: int) -> "Mesh":
+        take = lambda a: (a[i:i + 1] if a is not None and a.ndim == 3 else a)
+        return dataclasses.replace(
+            self, v_pos=take(self.v_pos), v_nrm=take(self.v_nrm), v_tex=take(self.v_tex))
+
+
+def face_normals(v_pos: jax.Array, t_pos_idx: jax.Array, f_valid: jax.Array,
+                 normalize: bool = True) -> jax.Array:
+    """(B, F, 3) face normals; zero for invalid faces."""
+    v0 = v_pos[:, t_pos_idx[:, 0]]
+    v1 = v_pos[:, t_pos_idx[:, 1]]
+    v2 = v_pos[:, t_pos_idx[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)
+    if normalize:
+        fn = safe_normalize(fn)
+    return jnp.where(f_valid[None, :, None], fn, 0.0)
+
+
+def auto_normals(v_pos: jax.Array, t_pos_idx: jax.Array, v_valid: jax.Array,
+                 f_valid: jax.Array) -> jax.Array:
+    """Area-weighted smooth vertex normals (reference `auto_normals`,
+    `mesh.py:276-304`): splat unnormalized face normals to vertices, then
+    normalize with a [0,0,1] fallback for degenerate/invalid vertices."""
+    fn = face_normals(v_pos, t_pos_idx, f_valid, normalize=False)  # (B, F, 3)
+    V = v_pos.shape[1]
+
+    def splat(fn_b):
+        acc = jnp.zeros((V, 3), v_pos.dtype)
+        for k in range(3):
+            acc = acc.at[t_pos_idx[:, k]].add(fn_b)
+        return acc
+
+    v_nrm = jax.vmap(splat)(fn)
+    dot = jnp.sum(v_nrm * v_nrm, -1, keepdims=True)
+    fallback = jnp.asarray([0.0, 0.0, 1.0], v_pos.dtype)
+    v_nrm = jnp.where(dot > 1e-20, v_nrm, fallback)
+    return safe_normalize(v_nrm)
+
+
+def make_mesh(v_pos: jax.Array, t_pos_idx: jax.Array, v_valid: jax.Array,
+              f_valid: jax.Array, num_verts: jax.Array, num_faces: jax.Array,
+              v_tex: Optional[jax.Array] = None,
+              face_gidx: Optional[jax.Array] = None) -> Mesh:
+    """Build a Mesh and compute smooth normals (reference `make_mesh`,
+    `mesh.py:355-375`, minus tangents — see module docstring)."""
+    v_nrm = auto_normals(v_pos, t_pos_idx, v_valid, f_valid)
+    return Mesh(v_pos=v_pos, t_pos_idx=t_pos_idx, v_valid=v_valid,
+                f_valid=f_valid, num_verts=num_verts, num_faces=num_faces,
+                v_nrm=v_nrm, v_tex=v_tex if v_tex is not None else v_pos,
+                face_gidx=face_gidx)

@@ -1,0 +1,102 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from animals3d_tpu.geometry import tets as tetlib
+from animals3d_tpu.ops import dmtet
+
+
+def sphere_sdf(pos, r=0.3):
+    return r - np.linalg.norm(pos, axis=-1)
+
+
+def test_kuhn_lattice_structure():
+    grid = tetlib.load_tet_grid(4, data_dir="/tmp/tets_cache")
+    assert grid.num_verts == 5 ** 3
+    assert grid.num_tets == 4 ** 3 * 6
+    # every tet has positive volume
+    v = grid.verts[grid.tets]
+    vol = np.linalg.det(v[:, 1:] - v[:, :1])
+    assert (np.abs(vol) > 1e-9).all()
+    # edges sorted lexicographically and unique
+    e = grid.edges
+    assert (e[:, 0] < e[:, 1]).all()
+    keys = e[:, 0].astype(np.int64) * grid.num_verts + e[:, 1]
+    assert (np.diff(keys) > 0).all()
+    # tet_edge_ids round-trips to the tets' own edges
+    base = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]])
+    want = np.sort(grid.tets[:, base], -1)
+    got = grid.edges[grid.tet_edge_ids]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_marching_tets_matches_numpy_oracle():
+    grid = tetlib.load_tet_grid(8, data_dir="/tmp/tets_cache")
+    sdf = sphere_sdf(grid.verts).astype(np.float32)
+    ref_v, ref_f = dmtet.marching_tets_np(grid.verts, sdf, grid.tets)
+    assert len(ref_v) > 0 and len(ref_f) > 0
+
+    v_cap, f_cap = 2048, 4096
+    out = jax.jit(lambda p, s: dmtet.marching_tets(p, s, grid, v_cap, f_cap))(
+        jnp.asarray(grid.verts), jnp.asarray(sdf))
+
+    assert int(out.num_verts) == len(ref_v)
+    assert int(out.num_faces) == len(ref_f)
+    nv, nf = len(ref_v), len(ref_f)
+    np.testing.assert_allclose(np.asarray(out.verts)[:nv], ref_v, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.faces)[:nf], ref_f)
+    assert np.asarray(out.v_valid)[:nv].all() and not np.asarray(out.v_valid)[nv:].any()
+    assert np.asarray(out.f_valid)[:nf].all() and not np.asarray(out.f_valid)[nf:].any()
+    # face_gidx consistent: gidx // 2 is a valid tet index, even/odd split sane
+    gidx = np.asarray(out.face_gidx)[:nf]
+    assert (gidx // 2 < grid.num_tets).all()
+
+
+def test_marching_tets_surface_accuracy():
+    grid = tetlib.load_tet_grid(16, data_dir="/tmp/tets_cache")
+    sdf = sphere_sdf(grid.verts, r=0.3).astype(np.float32)
+    v_cap, f_cap = tetlib.default_capacity(16)
+    out = dmtet.marching_tets(jnp.asarray(grid.verts), jnp.asarray(sdf), grid,
+                              v_cap, f_cap)
+    v = np.asarray(out.verts)[np.asarray(out.v_valid)]
+    radii = np.linalg.norm(v, axis=-1)
+    # linear interpolation on a 1/16 grid: every vertex near the sphere
+    np.testing.assert_allclose(radii, 0.3, atol=0.01)
+
+
+def test_marching_tets_gradients_flow():
+    grid = tetlib.load_tet_grid(6, data_dir="/tmp/tets_cache")
+    base_sdf = jnp.asarray(sphere_sdf(grid.verts, r=0.32).astype(np.float32))
+    pos = jnp.asarray(grid.verts)
+
+    def mean_radius(sdf):
+        out = dmtet.marching_tets(pos, sdf, grid, 1024, 2048)
+        r = jnp.linalg.norm(out.verts, axis=-1)
+        return jnp.sum(jnp.where(out.v_valid, r, 0.0)) / out.num_verts
+
+    g = jax.grad(mean_radius)(base_sdf)
+    assert np.isfinite(np.asarray(g)).all()
+    # growing the SDF grows the sphere: directional derivative along +1 > 0
+    assert float(jnp.vdot(g, jnp.ones_like(g))) > 0
+    # gradient is sparse: only endpoints of crossing edges participate
+    touched = np.count_nonzero(np.asarray(g))
+    assert 0 < touched < grid.num_verts
+
+
+def test_overflow_is_flagged_not_crashing():
+    grid = tetlib.load_tet_grid(8, data_dir="/tmp/tets_cache")
+    sdf = sphere_sdf(grid.verts).astype(np.float32)
+    out = dmtet.marching_tets(jnp.asarray(grid.verts), jnp.asarray(sdf), grid,
+                              8, 8)  # absurdly small capacity
+    assert int(out.num_verts) > 8  # true count still reported
+    assert np.asarray(out.v_valid).sum() == 8
+    # all emitted faces reference in-capacity vertices
+    f = np.asarray(out.faces)[np.asarray(out.f_valid)]
+    assert (f < 8).all()
+
+
+def test_sdf_bce_reg_loss():
+    grid = tetlib.load_tet_grid(6, data_dir="/tmp/tets_cache")
+    sdf = jnp.asarray(sphere_sdf(grid.verts).astype(np.float32))
+    loss = dmtet.sdf_bce_reg_loss(sdf, jnp.asarray(grid.edges))
+    assert np.isfinite(float(loss)) and float(loss) > 0
