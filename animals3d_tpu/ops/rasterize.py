@@ -1,0 +1,214 @@
+"""Differentiable triangle rasterization, TPU-native.
+
+Replaces nvdiffrast's `rasterize` + `interpolate` (used via
+`/root/reference/model/render/render.py:292-296` and `:139-221`). nvdiffrast
+is a CUDA/OpenGL rasterizer; this is a from-scratch XLA design that maps the
+problem onto TPU strengths:
+
+  * Edge functions and depth are *affine in pixel coordinates*, so evaluating
+    them for a tile of pixels × a chunk of faces is one matmul
+    `[px, py, 1] @ coeffs` that rides the MXU. The forward pass is a
+    `lax.scan` over face chunks with a running (depth, face-id) argmin carry —
+    a flash-attention-style streaming reduction, later tiled in Pallas.
+  * Visibility (which face wins a pixel) is inherently non-differentiable and
+    is computed under `stop_gradient`. Gradients w.r.t. vertex positions flow
+    through a *differentiable re-computation of barycentrics* for the winning
+    face (the same decomposition nvdiffrast uses: rasterize backward =
+    barycentric derivative at fixed face assignment). Silhouette gradients are
+    supplied separately by `ops.antialias`.
+
+Conventions (match the reference's GL pipeline):
+  * input `v_clip` is (B, V, 4) clip-space positions (after the mvp transform,
+    `render.py:278`); NDC = xyz/w; depth test on NDC z (smaller = nearer).
+  * pixel (i, j) has center (j + 0.5, i + 0.5) in screen coords;
+    screen x = (ndc_x + 1)/2 * W, y = (ndc_y + 1)/2 * H. Row 0 is the *top*
+    image row: the reference's `util.perspective` bakes a y-flip into the
+    projection (`util.py:189-194`), so NDC +y maps down the image here.
+  * output `rast` = (u, v, z_ndc, id) with id = face_index + 1, 0 = empty —
+    nvdiffrast's buffer layout. (u, v) are perspective-correct barycentric
+    weights of vertices 1 and 2.
+  * no backface culling (either winding rasterizes), single depth layer —
+    all reference call sites use num_layers=1 (`AnimalModel.py:247`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class Rast(NamedTuple):
+    uv: jax.Array      # (B, H, W, 2) perspective-correct barycentrics (diff'able)
+    z: jax.Array       # (B, H, W) NDC depth of the hit (stop-grad)
+    face_id: jax.Array  # (B, H, W) int32, face_index + 1, 0 = background
+
+    @property
+    def mask(self) -> jax.Array:
+        return self.face_id > 0
+
+
+def _face_coeffs(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
+                 height: int, width: int):
+    """Per-face affine coefficients for edge functions and depth.
+
+    Returns A: (F, 3, 4) such that [px, py, 1] @ A[f] = [e0, e1, e2, z_affine]
+    where e_i are unnormalized barycentric numerators (sign(det)-corrected so
+    inside => all e_i >= 0) and z_affine = sum_i l_i * z_ndc_i with
+    l_i = e_i / det.
+    """
+    w = v_clip[..., 3]
+    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    ndc = v_clip[..., :3] / safe_w[..., None]
+    sx = (ndc[..., 0] + 1.0) * (0.5 * width)
+    sy = (ndc[..., 1] + 1.0) * (0.5 * height)
+    z = ndc[..., 2]
+
+    fx = sx[faces]   # (F, 3)
+    fy = sy[faces]
+    fz = z[faces]
+    fw = w[faces]
+
+    x0, x1, x2 = fx[:, 0], fx[:, 1], fx[:, 2]
+    y0, y1, y2 = fy[:, 0], fy[:, 1], fy[:, 2]
+    # det = twice signed area; adjugate rows give the affine barycentric
+    # numerators: e_i(p) = a_i px + b_i py + c_i, with e_0+e_1+e_2 = det.
+    det = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    a0, b0, c0 = y1 - y2, x2 - x1, x1 * y2 - x2 * y1
+    a1, b1, c1 = y2 - y0, x0 - x2, x2 * y0 - x0 * y2
+    a2, b2, c2 = y0 - y1, x1 - x0, x0 * y1 - x1 * y0
+
+    sgn = jnp.where(det >= 0, 1.0, -1.0)
+    inv_det = sgn / jnp.maximum(jnp.abs(det), 1e-12)
+    ok = f_valid & (jnp.abs(det) > 1e-12) & (fw > 1e-6).all(-1)
+
+    e = jnp.stack([jnp.stack([a0, b0, c0], -1),
+                   jnp.stack([a1, b1, c1], -1),
+                   jnp.stack([a2, b2, c2], -1)], -1) * sgn[:, None, None]
+    # affine depth row: z(p) = sum_i (e_i * |inv_det|) * z_i
+    zrow = jnp.einsum("fki,fi->fk", e, fz) * jnp.abs(inv_det)[:, None]
+    A = jnp.concatenate([e, zrow[:, :, None]], -1)          # (F, 3, 4)
+    A = jnp.where(ok[:, None, None], A, 0.0)
+    # scale edge rows so coverage test is scale-free; keep z row exact
+    return A, ok, fw, det
+
+
+def rasterize(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
+              resolution: tuple[int, int], chunk: int = 256) -> Rast:
+    """Rasterize (B, V, 4) clip-space vertices. Returns a `Rast`.
+
+    The visibility search runs entirely under stop_gradient; uv is then
+    recomputed differentiably for the winning faces.
+    """
+    height, width = resolution
+    B = v_clip.shape[0]
+
+    v_nd = lax.stop_gradient(v_clip)
+    F = faces.shape[0]
+    pad = (-F) % chunk
+    if pad:
+        faces_p = jnp.concatenate([faces, jnp.zeros((pad, 3), faces.dtype)], 0)
+        f_valid_p = jnp.concatenate([f_valid, jnp.zeros((pad,), bool)], 0)
+    else:
+        faces_p, f_valid_p = faces, f_valid
+    Fp = F + pad
+
+    # pixel-center matrix, (P, 3)
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5)
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5)
+    px, py = jnp.meshgrid(xs, ys)                     # (H, W)
+    P = jnp.stack([px.ravel(), py.ravel(), jnp.ones(height * width)], -1)
+
+    def raster_one_global(vc):
+        A, ok, _, _ = _face_coeffs(vc, faces_p, f_valid_p, height, width)
+        A_chunks = A.reshape(Fp // chunk, chunk, 3, 4)
+        ok_chunks = ok.reshape(Fp // chunk, chunk)
+        base = jnp.arange(Fp // chunk, dtype=jnp.int32) * chunk
+
+        def body(carry, inputs):
+            best_z, best_id = carry
+            A_c, ok_c, base_c = inputs
+            E = (P @ A_c.transpose(1, 0, 2).reshape(3, -1)).reshape(-1, chunk, 4)
+            cov = (E[..., :3] >= 0).all(-1) & ok_c[None, :]
+            zc = jnp.where(cov, E[..., 3], jnp.inf)
+            local = jnp.argmin(zc, axis=1).astype(jnp.int32)
+            local_z = jnp.take_along_axis(zc, local[:, None], 1)[:, 0]
+            take = local_z < best_z
+            new_z = jnp.where(take, local_z, best_z)
+            new_id = jnp.where(take, base_c + local + 1, best_id)
+            return (new_z, new_id), None
+
+        init = (jnp.full((height * width,), jnp.inf),
+                jnp.zeros((height * width,), jnp.int32))
+        (z, fid), _ = lax.scan(body, init, (A_chunks, ok_chunks, base))
+        return z.reshape(height, width), fid.reshape(height, width)
+
+    z, fid = jax.vmap(raster_one_global)(v_nd)
+    z = jnp.where(fid > 0, z, 0.0)
+
+    uv = compute_barycentrics(v_clip, faces, fid, (height, width))
+    return Rast(uv=uv, z=z, face_id=fid)
+
+
+def compute_barycentrics(v_clip: jax.Array, faces: jax.Array,
+                         face_id: jax.Array,
+                         resolution: tuple[int, int]) -> jax.Array:
+    """Perspective-correct (u, v) for each pixel's winning face,
+    differentiable w.r.t. v_clip (face assignment is fixed/stop-grad).
+    """
+    height, width = resolution
+    B = v_clip.shape[0]
+    fid = lax.stop_gradient(face_id)
+    sel = jnp.maximum(fid - 1, 0)                       # (B, H, W)
+    tri = faces[sel]                                    # (B, H, W, 3)
+
+    def one(vc, tri_b):
+        vv = vc[tri_b]                                  # (H, W, 3, 4)
+        w = vv[..., 3]
+        safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+        sx = (vv[..., 0] / safe_w + 1.0) * (0.5 * width)
+        sy = (vv[..., 1] / safe_w + 1.0) * (0.5 * height)
+
+        ys = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]
+        xs = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
+
+        x0, x1, x2 = sx[..., 0], sx[..., 1], sx[..., 2]
+        y0, y1, y2 = sy[..., 0], sy[..., 1], sy[..., 2]
+        det = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        safe_det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+        l1 = ((xs - x0) * (y2 - y0) - (x2 - x0) * (ys - y0)) / safe_det
+        l2 = ((x1 - x0) * (ys - y0) - (xs - x0) * (y1 - y0)) / safe_det
+        l0 = 1.0 - l1 - l2
+        # perspective correction: weight by 1/w and renormalize
+        iw = 1.0 / safe_w
+        denom = l0 * iw[..., 0] + l1 * iw[..., 1] + l2 * iw[..., 2]
+        safe_denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        u = l1 * iw[..., 1] / safe_denom
+        v = l2 * iw[..., 2] / safe_denom
+        return jnp.stack([u, v], -1)
+
+    uv = jax.vmap(one)(v_clip, tri)
+    return jnp.where((fid > 0)[..., None], uv, 0.0)
+
+
+def interpolate(attr: jax.Array, rast: Rast, faces: jax.Array) -> jax.Array:
+    """Interpolate per-vertex attributes at rasterized pixels.
+
+    attr: (B, V, A) or (V, A) shared. Returns (B, H, W, A); 0 on background.
+    Replaces `dr.interpolate` (`render.py:24-27`). Differentiable w.r.t.
+    attr and, through `rast.uv`, vertex positions.
+    """
+    if attr.ndim == 2:
+        attr = attr[None].repeat(rast.face_id.shape[0], 0)
+    sel = jnp.maximum(lax.stop_gradient(rast.face_id) - 1, 0)
+    tri = faces[sel]                                    # (B, H, W, 3)
+
+    def one(attr_b, tri_b, uv_b, fid_b):
+        av = attr_b[tri_b]                              # (H, W, 3, A)
+        u = uv_b[..., 0:1]
+        v = uv_b[..., 1:2]
+        out = av[..., 0, :] * (1.0 - u - v) + av[..., 1, :] * u + av[..., 2, :] * v
+        return jnp.where((fid_b > 0)[..., None], out, 0.0)
+
+    return jax.vmap(one)(attr, tri, rast.uv, rast.face_id)

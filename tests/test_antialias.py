@@ -1,0 +1,92 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from animals3d_tpu.ops import rasterize as rz
+from animals3d_tpu.ops.antialias import antialias
+
+
+def _square(x_right, H=16, W=16):
+    """A square with its right edge at NDC x=x_right, occupying left part."""
+    x_right = jnp.asarray(x_right, jnp.float32)
+    base = jnp.asarray(np.array([
+        [-2.0, -2.0, 0.5, 1.0],
+        [0.0, -2.0, 0.5, 1.0],
+        [0.0, 2.0, 0.5, 1.0],
+        [-2.0, 2.0, 0.5, 1.0],
+    ], np.float32))
+    shift = jnp.zeros((4, 4)).at[1, 0].set(x_right).at[2, 0].set(x_right)
+    v = base + shift
+    f = jnp.asarray(np.array([[0, 1, 2], [0, 2, 3]], np.int32))
+    return v, f
+
+
+def _coverage(x_right, H=16, W=16):
+    v, f = _square(x_right, H, W)
+    rast = rz.rasterize(v[None], f, jnp.ones(2, bool), (H, W))
+    alpha = (rast.face_id > 0).astype(jnp.float32)[..., None]
+    aa = antialias(alpha, rast, v[None], f)
+    return aa, rast, v, f
+
+
+def test_forward_subpixel_coverage():
+    # total antialiased alpha should track the true covered area linearly,
+    # while the hard mask staircases
+    H = W = 16
+    areas = []
+    for x in np.linspace(-0.01, 0.11, 7):
+        aa, _, _, _ = _coverage(float(x), H, W)
+        areas.append(float(jnp.sum(aa)))
+    areas = np.array(areas)
+    # true area of the covered half-plane in pixels: (x+1)/2*W per row * H
+    want = (np.linspace(-0.01, 0.11, 7) + 1) / 2 * W * H
+    np.testing.assert_allclose(areas, want, atol=0.75)
+    # strictly increasing (no staircase plateaus)
+    assert (np.diff(areas) > 0.1).all()
+
+
+def test_silhouette_gradient_matches_area_derivative():
+    H = W = 16
+
+    def total_alpha(x_right):
+        v, f = _square(x_right, H, W)
+        rast = rz.rasterize(v[None], f, jnp.ones(2, bool), (H, W))
+        alpha = (rast.face_id > 0).astype(jnp.float32)[..., None]
+        # re-inject differentiable v into antialias (rasterize stop-grads it)
+        return jnp.sum(antialias(alpha, rast, v[None], f))
+
+    g = jax.grad(lambda x: total_alpha(x))(jnp.asarray(0.037))
+    # moving the right edge by dx in NDC adds dx/2*W pixels per row × H rows
+    want = 0.5 * W * H
+    np.testing.assert_allclose(float(g), want, rtol=0.05)
+
+
+def test_interior_shared_edges_untouched():
+    # a flat two-triangle quad: the shared diagonal must NOT be blended
+    v = jnp.asarray(np.array([
+        [-0.8, -0.8, 0.5, 1.0], [0.8, -0.8, 0.5, 1.0],
+        [0.8, 0.8, 0.5, 1.0], [-0.8, 0.8, 0.5, 1.0]], np.float32))
+    f = jnp.asarray(np.array([[0, 1, 2], [0, 2, 3]], np.int32))
+    rast = rz.rasterize(v[None], f, jnp.ones(2, bool), (16, 16))
+    # color differs per face id so interior blending would be visible
+    color = (rast.face_id.astype(jnp.float32))[..., None]
+    aa = antialias(color, rast, v[None], f)
+    inside = np.asarray(rast.face_id[0]) > 0
+    # erode: pixels whose 4-neighborhood is fully inside
+    core = inside[1:-1, 1:-1] & inside[:-2, 1:-1] & inside[2:, 1:-1] & \
+        inside[1:-1, :-2] & inside[1:-1, 2:]
+    diff = np.abs(np.asarray(aa[0, 1:-1, 1:-1, 0]) -
+                  np.asarray(color[0, 1:-1, 1:-1, 0]))
+    assert diff[core].max() < 1e-6
+
+
+def test_color_gradient_passthrough():
+    aa, rast, v, f = _coverage(0.0)
+
+    def loss(c):
+        return jnp.sum(antialias(c, rast, v[None], f) ** 2)
+
+    alpha = (rast.face_id > 0).astype(jnp.float32)[..., None]
+    g = jax.grad(loss)(alpha)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
