@@ -1,0 +1,174 @@
+"""Deferred-shading differentiable mesh renderer (functional).
+
+Replaces the nvdiffrast pipeline `render.render_mesh` / `render_layer` /
+`shade` (`/root/reference/model/render/render.py:30-337`) with the TPU
+rasterizer in `ops.rasterize` + `ops.antialias`. Single depth layer (all
+reference call sites use num_layers=1, `AnimalModel.py:247`).
+
+Contract preserved (consumed by the models layer):
+  * `render_modes` ⊂ {shaded, kd, ks, normal, geo_normal, shading, flow,
+    dino_pred, depth}; returns a dict mode → NCHW buffer with the reference's
+    channel slicing (shaded keeps RGBA — the alpha channel *is* the
+    antialiased predicted mask used by the mask losses).
+  * textures/DINO fields are sampled at canonical (prior-mesh) surface
+    positions interpolated with the posed mesh's topology (`render.py:209`),
+    making appearance pose-invariant.
+  * antialias applied to shaded/flow/dino_pred/depth/shading after
+    compositing over the background (`render.py:258-268,311`).
+  * spp supersampling rasterizes and shades at spp× resolution and
+    average-pools down (reference msaa path shades at low res; we shade at
+    full res — strictly more accurate, and spp=1 in training).
+
+All heavy per-pixel work (material/DINO MLPs) runs on flattened (B·H·W)
+batches that XLA maps onto the MXU.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from animals3d_tpu.geometry.mesh import Mesh, face_normals
+from animals3d_tpu.ops import shading as sh
+from animals3d_tpu.ops.antialias import antialias
+from animals3d_tpu.ops.rasterize import interpolate, rasterize
+from animals3d_tpu.render.camera import xfm_points
+from animals3d_tpu.render.light import directional_shade
+
+_ANTIALIAS_MODES = ("shaded", "flow", "dino_pred", "depth", "shading")
+_BG_IMAGE_MODES = ("shaded", "geo_normal", "shading")
+
+
+def avg_pool_nhwc(x: jax.Array, k: int) -> jax.Array:
+    b, h, w, c = x.shape
+    return x.reshape(b, h // k, k, w // k, k, c).mean((2, 4))
+
+
+def render_mesh(
+    mesh: Mesh,
+    mtx_in: jax.Array,                 # (B, 4, 4) mvp
+    w2c: jax.Array,                    # (B, 4, 4)
+    campos: jax.Array,                 # (B, 3)
+    resolution: tuple[int, int],
+    material_fn: Optional[Callable] = None,   # (tex_pos BHW3, feat) -> BHW9
+    light_params: Optional[jax.Array] = None,  # (B, 5) dir+amb+diff
+    background: Optional[jax.Array] = None,    # (B, H, W, 3)
+    spp: int = 1,
+    render_modes: Sequence[str] = ("shaded",),
+    prior_mesh: Optional[Mesh] = None,
+    dino_fn: Optional[Callable] = None,        # (tex_pos BHW3) -> BHWD
+    num_frames: Optional[int] = None,
+    two_sided_shading: bool = True,
+) -> dict:
+    H, W = resolution
+    full_res = (H * spp, W * spp)
+    B = mesh.v_pos.shape[0]
+    faces = mesh.t_pos_idx
+
+    v_clip = xfm_points(mesh.v_pos, mtx_in)                  # (B, V, 4)
+    rast = rasterize(v_clip, faces, mesh.f_valid, full_res)
+    mask = rast.mask[..., None].astype(v_clip.dtype)         # (B, H', W', 1)
+
+    # ---- interpolated attribute buffers -----------------------------------
+    gb_pos = interpolate(mesh.v_pos, rast, faces)
+    gb_normal = interpolate(mesh.v_nrm, rast, faces)
+    fn = face_normals(mesh.v_pos, faces, mesh.f_valid)       # (B, F, 3)
+    sel = jnp.maximum(rast.face_id - 1, 0)
+    gb_geo_normal = jnp.take_along_axis(
+        fn[:, :, None, :], sel.reshape(B, -1, 1, 1).repeat(3, -1), axis=1
+    ).reshape(*sel.shape, 3) * mask
+
+    prior = prior_mesh if prior_mesh is not None else mesh
+    v_tex = prior.v_pos
+    if v_tex.shape[0] == 1 and B > 1:
+        v_tex = jnp.broadcast_to(v_tex, (B, *v_tex.shape[1:]))
+    gb_tex_pos = interpolate(v_tex, rast, faces)
+
+    # ---- optional 2D flow (clip-space delta between consecutive frames) ----
+    flow_interp = None
+    if "flow" in render_modes:
+        assert num_frames is not None and num_frames > 1
+        xy = v_clip[..., :2] / v_clip[..., 3:4]
+        xy = xy.reshape(-1, num_frames, *xy.shape[1:])
+        delta = xy[:, 1:] - xy[:, :-1]
+        delta = jnp.concatenate([delta, jnp.zeros_like(delta[:, :1])], 1)
+        delta = delta.reshape(-1, *delta.shape[2:])
+        flow_interp = interpolate(delta, rast, faces)
+
+    # ---- shading -----------------------------------------------------------
+    if material_fn is not None:
+        all_tex = material_fn(gb_tex_pos)
+    else:
+        all_tex = jnp.ones((*gb_pos.shape[:-1], 9), gb_pos.dtype)
+    kd, ks = all_tex[..., :3], all_tex[..., 3:6]
+
+    dino_pred = dino_fn(gb_tex_pos) if dino_fn is not None else None
+
+    view_pos = campos[:, None, None, :]
+    gb_shading_normal = sh.prepare_shading_normal(
+        gb_pos, view_pos, None, gb_normal, None, gb_geo_normal,
+        two_sided_shading=two_sided_shading)
+    cam_normal = sh.safe_normalize(
+        jnp.einsum("bij,bhwj->bhwi", w2c[:, :3, :3], gb_shading_normal))
+
+    shading_buf = None
+    if light_params is not None:
+        shaded_col, shading_buf = directional_shade(light_params, kd, cam_normal)
+    else:
+        shaded_col = kd
+
+    buffers = {
+        "shaded": shaded_col,
+        "kd": kd,
+        "ks": ks,
+        "normal": (gb_shading_normal + 1.0) * 0.5,
+        "geo_normal": (gb_geo_normal + 1.0) * 0.5,
+    }
+    if shading_buf is not None:
+        buffers["shading"] = shading_buf
+    if flow_interp is not None:
+        buffers["flow"] = flow_interp
+    if dino_pred is not None:
+        buffers["dino_pred"] = dino_pred
+    if "depth" in render_modes:
+        pos_hom = jnp.concatenate([gb_pos, jnp.ones_like(gb_pos[..., :1])], -1)
+        z_cam = jnp.einsum("bij,bhwj->bhwi", w2c, pos_hom)[..., 2:3]
+        zmin = z_cam.min((1, 2), keepdims=True)
+        zmax = z_cam.max((1, 2), keepdims=True)
+        buffers["depth"] = (z_cam - zmin) / jnp.maximum(zmax - zmin, 1e-12)
+
+    # ---- composite over background + antialias ----------------------------
+    if background is not None and spp > 1:
+        background = jnp.repeat(jnp.repeat(background, spp, 1), spp, 2)
+
+    out = {}
+    for key in render_modes:
+        if key not in buffers:
+            out[key] = None
+            continue
+        buf = buffers[key]
+        if background is not None and key in _BG_IMAGE_MODES:
+            bg = jnp.concatenate(
+                [background, jnp.zeros_like(background[..., :1])], -1)
+            if key == "shading":
+                bg = bg[..., 2:]     # reference quirk (`render.py:315-316`)
+        else:
+            bg = jnp.zeros((*buf.shape[:-1], buf.shape[-1] + 1), buf.dtype)
+        fg = jnp.concatenate([buf, jnp.ones_like(buf[..., :1])], -1)
+        accum = bg + (fg - bg) * mask
+        if key in _ANTIALIAS_MODES:
+            accum = antialias(accum, rast, v_clip, faces)
+        if spp > 1:
+            accum = avg_pool_nhwc(accum, spp)
+        # reference channel slicing (`render.py:320-333`)
+        if key in ("kd", "ks", "normal", "geo_normal"):
+            accum = accum[..., :3]
+        elif key in ("shading", "depth"):
+            accum = accum[..., :1]
+        elif key == "flow":
+            accum = accum[..., :2]
+        elif key == "dino_pred":
+            accum = accum[..., :-1]
+        out[key] = jnp.transpose(accum, (0, 3, 1, 2))        # NHWC → NCHW
+    return out

@@ -1,0 +1,118 @@
+"""End-to-end render-path test: SDF → marching tets → mesh → render."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from animals3d_tpu.geometry import tets as tetlib
+from animals3d_tpu.geometry.mesh import make_mesh
+from animals3d_tpu.ops import dmtet
+from animals3d_tpu.render import camera
+from animals3d_tpu.render.render import render_mesh
+
+SCALE = 7.0
+
+
+def _camera(B=1, fov_deg=25.0, z_offset=10.0):
+    proj = camera.perspective(np.deg2rad(fov_deg))
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = -z_offset
+    mvp = (proj @ w2c).astype(np.float32)
+    campos = np.array([0.0, 0.0, z_offset], np.float32)
+    return (jnp.asarray(np.tile(mvp, (B, 1, 1))),
+            jnp.asarray(np.tile(w2c, (B, 1, 1))),
+            jnp.asarray(np.tile(campos, (B, 1))))
+
+
+def _sphere_mesh(grid_res=16, radius=0.25):
+    grid = tetlib.load_tet_grid(grid_res, data_dir="/tmp/tets_cache")
+    pos = grid.verts * SCALE
+    sdf = (radius * SCALE - np.linalg.norm(pos, axis=-1)).astype(np.float32)
+    v_cap, f_cap = tetlib.default_capacity(grid_res)
+    out = dmtet.marching_tets(jnp.asarray(pos), jnp.asarray(sdf), grid,
+                              v_cap, f_cap)
+    return make_mesh(out.verts[None], out.faces, out.v_valid, out.f_valid,
+                     out.num_verts, out.num_faces, face_gidx=out.face_gidx), grid
+
+
+def test_sphere_render_mask_and_shading():
+    mesh, _ = _sphere_mesh()
+    mvp, w2c, campos = _camera()
+    out = render_mesh(mesh, mvp, w2c, campos, (64, 64),
+                      render_modes=("shaded", "geo_normal", "depth"))
+    shaded = np.asarray(out["shaded"][0])            # (4, H, W)
+    mask = shaded[3]
+    # a centered disk: sphere radius 1.75 world at distance 10, fov 25
+    # → angular radius atan(1.75/10) ≈ 9.93deg → ~0.8 of half-image
+    frac = mask.mean()
+    want_frac = np.pi * 0.8 ** 2 / 4                  # disk area / image
+    assert abs(frac - want_frac) < 0.05, frac
+    # centered: centroid near center
+    ys, xs = np.mgrid[0:64, 0:64]
+    cy = (ys * mask).sum() / mask.sum()
+    cx = (xs * mask).sum() / mask.sum()
+    assert abs(cy - 31.5) < 1.0 and abs(cx - 31.5) < 1.0
+    # without a light, shaded == kd == ones strictly inside the mask
+    # (erode by one pixel: AA legitimately blends rim-adjacent pixels)
+    hard = mask > 0.99
+    interior = hard[1:-1, 1:-1] & hard[:-2, 1:-1] & hard[2:, 1:-1] & \
+        hard[1:-1, :-2] & hard[1:-1, 2:]
+    assert np.allclose(shaded[0][1:-1, 1:-1][interior], 1.0, atol=1e-5)
+    # geo normals: center pixel faces camera (+z) → encoded (n+1)/2 → z ~ 1
+    geo = np.asarray(out["geo_normal"][0])
+    assert geo[2, 32, 32] > 0.95
+    # depth is normalized camera-space z (GL: negative, nearer = larger):
+    # sphere center is nearest → depth ~ 1, rim farther
+    depth = np.asarray(out["depth"][0, 0])
+    assert depth[32, 32] > depth[32, 8] or mask[32, 8] == 0
+
+
+def test_mask_loss_gradients_reach_sdf():
+    """The full silhouette-gradient chain: mask L2 → antialias → verts → sdf."""
+    grid = tetlib.load_tet_grid(8, data_dir="/tmp/tets_cache")
+    pos = jnp.asarray(grid.verts * SCALE)
+    base_sdf = jnp.asarray(
+        (0.25 * SCALE - np.linalg.norm(grid.verts * SCALE, axis=-1)).astype(np.float32))
+    mvp, w2c, campos = _camera()
+    v_cap, f_cap = 1024, 2048
+
+    # target mask: a smaller disk → loss should want to shrink the sphere
+    target = np.zeros((32, 32), np.float32)
+    ys, xs = np.mgrid[0:32, 0:32]
+    target[(ys - 15.5) ** 2 + (xs - 15.5) ** 2 < 8 ** 2] = 1.0
+    target = jnp.asarray(target)
+
+    def loss_fn(dsdf):
+        out = dmtet.marching_tets(pos, base_sdf + dsdf, grid, v_cap, f_cap)
+        mesh = make_mesh(out.verts[None], out.faces, out.v_valid, out.f_valid,
+                         out.num_verts, out.num_faces)
+        rendered = render_mesh(mesh, mvp, w2c, campos, (32, 32),
+                               render_modes=("shaded",))
+        mask_pred = rendered["shaded"][0, 3]
+        return jnp.mean((mask_pred - target) ** 2)
+
+    g = jax.grad(loss_fn)(jnp.zeros_like(base_sdf))
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0
+    # shrinking the sphere (negative sdf perturbation) must reduce the loss
+    d = -g / (np.linalg.norm(g) + 1e-9) * 0.05
+    l0 = float(loss_fn(jnp.zeros_like(base_sdf)))
+    l1 = float(loss_fn(jnp.asarray(d)))
+    assert l1 < l0, (l0, l1)
+
+
+def test_render_batched_and_background():
+    mesh, _ = _sphere_mesh(grid_res=8)
+    B = 3
+    mesh2 = mesh.extend(B)
+    mvp, w2c, campos = _camera(B)
+    bg = jnp.ones((B, 32, 32, 3)) * 0.5
+    out = render_mesh(mesh2, mvp, w2c, campos, (32, 32), background=bg,
+                      render_modes=("shaded", "kd"))
+    shaded = np.asarray(out["shaded"])
+    assert shaded.shape == (B, 4, 32, 32)
+    # background pixels = 0.5, alpha 0
+    assert abs(shaded[0, 0, 0, 0] - 0.5) < 1e-5
+    assert shaded[0, 3, 0, 0] < 1e-5
+    # batch entries identical
+    np.testing.assert_allclose(shaded[0], shaded[1], atol=1e-6)
