@@ -1,0 +1,132 @@
+"""DINO ViT-S/8 image encoder (flax.linen), with functional key extraction.
+
+Reference: the torch.hub DINO ViT wrapped by `ViTEncoder`
+(`/root/reference/model/networks/encoders.py:148-261`). The reference pulls
+block-11 attention *keys* out with forward hooks (`:181-204`); being
+functional, this implementation simply returns them. The encoder is frozen in
+every config, so it is a pure inference function whose weights come from a
+converted DINO checkpoint (or random init when unavailable — zero-egress
+environments can't fetch torch.hub weights).
+
+Architecture (dino_vits8): 8×8 patch embed, cls token, learned pos embeddings
+bicubically resized to the input grid (DINO's interpolate_pos_encoding),
+12 pre-norm transformer blocks (dim 384, 6 heads, mlp ratio 4, qkv bias),
+final LayerNorm.
+
+TPU notes: attention over 1025 tokens at dim 384 is small; everything maps to
+plain batched matmuls. bf16-safe.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# ImageNet normalization DINO models expect
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class ViTSelfAttention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, return_qkv: bool = False):
+        B, N, C = x.shape
+        H = self.num_heads
+        hd = C // H
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)  # 3,B,H,N,hd
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q @ k.transpose(0, 1, 3, 2)) * (hd ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = nn.Dense(C, name="proj")(out)
+        if return_qkv:
+            return out, (q, k, v)
+        return out
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, return_qkv: bool = False):
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        if return_qkv:
+            a, qkv = ViTSelfAttention(self.dim, self.num_heads,
+                                      name="attn")(h, return_qkv=True)
+        else:
+            a = ViTSelfAttention(self.dim, self.num_heads, name="attn")(h)
+            qkv = None
+        x = x + a
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, name="fc2")(h)
+        x = x + h
+        if return_qkv:
+            return x, qkv
+        return x
+
+
+class DinoViT(nn.Module):
+    """Returns (tokens, key11): final-norm tokens (B, N+1, C) and block-11
+    attention keys (B, heads, N+1, head_dim)."""
+    patch_size: int = 8
+    dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    pos_grid: int = 28          # native DINO grid (224/8)
+    key_block: int = 11
+
+    @nn.compact
+    def __call__(self, x):       # x: (B, 3, H, W), ImageNet-normalized
+        B, C, H, W = x.shape
+        gh, gw = H // self.patch_size, W // self.patch_size
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        x = nn.Conv(self.dim, (self.patch_size,) * 2, (self.patch_size,) * 2,
+                    padding="VALID", name="patch_embed")(x)     # (B,gh,gw,C)
+        x = x.reshape(B, gh * gw, self.dim)
+
+        cls = self.param("cls_token", nn.initializers.normal(0.02),
+                         (1, 1, self.dim))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, self.pos_grid * self.pos_grid + 1, self.dim))
+        if (gh, gw) != (self.pos_grid, self.pos_grid):
+            patch_pos = pos[:, 1:].reshape(1, self.pos_grid, self.pos_grid,
+                                           self.dim)
+            patch_pos = jax.image.resize(patch_pos, (1, gh, gw, self.dim),
+                                         method="bicubic")
+            pos = jnp.concatenate([pos[:, :1],
+                                   patch_pos.reshape(1, gh * gw, self.dim)], 1)
+
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.dim)), x], 1)
+        x = x + pos
+
+        key11 = None
+        for i in range(self.depth):
+            if i == self.key_block:
+                x, (q, k, v) = ViTBlock(self.dim, self.num_heads,
+                                        self.mlp_ratio,
+                                        name=f"block_{i}")(x, return_qkv=True)
+                key11 = k
+            else:
+                x = ViTBlock(self.dim, self.num_heads, self.mlp_ratio,
+                             name=f"block_{i}")(x)
+        tokens = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return tokens, key11
+
+
+def normalize_imagenet(images: jax.Array) -> jax.Array:
+    """(B, 3, H, W) in [0,1] → ImageNet-normalized."""
+    mean = jnp.asarray(IMAGENET_MEAN, images.dtype).reshape(1, 3, 1, 1)
+    std = jnp.asarray(IMAGENET_STD, images.dtype).reshape(1, 3, 1, 1)
+    return (images - mean) / std
