@@ -128,6 +128,35 @@ def load_tet_grid(res: int, data_dir: str = "data/tets") -> TetGrid:
                    tet_edge_ids=tet_edge_ids, res=res)
 
 
+class DeviceTetGrid:
+    """Device-resident copy of a TetGrid, passed into jitted steps as a
+    pytree (no per-step host→device upload)."""
+
+    def __init__(self, grid: TetGrid):
+        import jax.numpy as jnp
+        self.verts = jnp.asarray(grid.verts)
+        self.tets = jnp.asarray(grid.tets)
+        self.edges = jnp.asarray(grid.edges)
+        self.tet_edge_ids = jnp.asarray(grid.tet_edge_ids)
+        self.res = grid.res
+
+    def tree_flatten(self):
+        return (self.verts, self.tets, self.edges, self.tet_edge_ids), self.res
+
+    @classmethod
+    def tree_unflatten(cls, res, children):
+        obj = cls.__new__(cls)
+        obj.verts, obj.tets, obj.edges, obj.tet_edge_ids = children
+        obj.res = res
+        return obj
+
+
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_pytree_node(DeviceTetGrid, DeviceTetGrid.tree_flatten,
+                          DeviceTetGrid.tree_unflatten)
+
+
 def default_capacity(res: int) -> tuple[int, int]:
     """Capacity bounds for extracted meshes: surface scales with res^2.
 

@@ -31,13 +31,19 @@ class Encoder32(nn.Module):
     activation: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x):          # x: (B, C, 32, 32)
+    def __call__(self, x):          # x: (B, C, S, S); S=32 in the reference
         x = jnp.transpose(x, (0, 2, 3, 1))
-        for i in range(3):
+        # stride-2 downsampling to 4x4 (3 convs for the reference's 32x32),
+        # then a valid conv collapsing the rest to 1x1
+        size = x.shape[1]
+        i = 0
+        while size > 4:
             x = _conv(self.nf, 4, 2, 1, name=f"conv_{i}")(x)
             x = nn.GroupNorm(num_groups=self.nf // 4, name=f"norm_{i}")(x)
             x = jax.nn.leaky_relu(x, 0.2)
-        x = _conv(self.cout, 4, 1, 0, name="conv_out")(x)   # 4x4 -> 1x1
+            size //= 2
+            i += 1
+        x = _conv(self.cout, size, 1, 0, name="conv_out")(x)
         x = get_activation(self.activation)(x)
         return x.reshape(x.shape[0], -1)
 

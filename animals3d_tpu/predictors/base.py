@@ -1,0 +1,143 @@
+"""Base predictor: category prior shape (SDF + DMTet) and DINO feature field.
+
+Reference: `BasePredictorBase` (`/root/reference/model/predictors/BasePredictorBase.py:44-70`)
+wrapping `DMTetGeometry` (`model/geometry/dmtet.py:175-310`). Functional here:
+the flax module owns the SDF / DINO MLPs; the tet grid is passed in as a
+device pytree and marching tets is the static-shape op in `ops.dmtet`.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from animals3d_tpu.geometry.mesh import Mesh, make_mesh
+from animals3d_tpu.geometry.tets import DeviceTetGrid
+from animals3d_tpu.networks.mlp import CoordMLP, CoordMLPMod
+from animals3d_tpu.ops import dmtet
+from animals3d_tpu.predictors.config import BasePredictorConfig
+
+
+class BasePredictor(nn.Module):
+    cfg: BasePredictorConfig
+    condition_choice: Optional[str] = None     # None | 'mod' (Fauna bank)
+
+    def setup(self):
+        shape = self.cfg.cfg_shape
+        scalar = 2 * np.pi / shape.spatial_scale * 0.9
+        if self.condition_choice == "mod":
+            self.netSDF = CoordMLPMod(
+                3, 1, shape.num_layers, nf=shape.hidden_size, activation=None,
+                min_max=None, n_harmonic_functions=shape.embedder_freq,
+                embedder_scalar=scalar,
+                embed_concat_pts=shape.embed_concat_pts, condition_dim=128,
+                name="netSDF")
+        else:
+            self.netSDF = CoordMLP(
+                3, 1, shape.num_layers, nf=shape.hidden_size, activation=None,
+                min_max=None, n_harmonic_functions=shape.embedder_freq,
+                embedder_scalar=scalar,
+                embed_concat_pts=shape.embed_concat_pts, name="netSDF")
+
+        dino = self.cfg.cfg_dino
+        self.netDINO = CoordMLP(
+            3, dino.feature_dim, dino.num_layers, nf=dino.hidden_size,
+            activation=dino.activation,
+            min_max=(tuple(dino.minmax),) * dino.feature_dim,
+            n_harmonic_functions=dino.embedder_freq, embedder_scalar=scalar,
+            embed_concat_pts=dino.embed_concat_pts,
+            symmetrize=dino.symmetrize, name="netDINO")
+
+    # ---- SDF field --------------------------------------------------------
+    def get_sdf(self, pts, feats=None):
+        """SDF with x-mirror symmetrization and analytic init bias
+        (`dmtet.py:228-255`)."""
+        shape = self.cfg.cfg_shape
+        if shape.symmetrize:
+            pts_in = jnp.concatenate([jnp.abs(pts[..., :1]), pts[..., 1:]], -1)
+        else:
+            pts_in = pts
+        if self.condition_choice == "mod":
+            sdf = self.netSDF(pts_in, feats)
+        else:
+            sdf = self.netSDF(pts_in)
+
+        init = shape.init_sdf
+        if init is None:
+            pass
+        elif isinstance(init, (int, float)):
+            sdf = sdf + init
+        elif init == "sphere":
+            r = shape.spatial_scale * 0.25
+            sdf = sdf + (r - jnp.linalg.norm(pts, axis=-1, keepdims=True))
+        elif init == "ellipsoid":
+            r = shape.spatial_scale * 0.15
+            scaled = jnp.concatenate([pts[..., :2], pts[..., 2:] / 2], -1)
+            sdf = sdf + (r - jnp.linalg.norm(scaled, axis=-1, keepdims=True))
+        else:
+            raise NotImplementedError(init)
+        return sdf
+
+    def dino_field(self, pts, feats=None):
+        return self.netDINO(pts, feats)
+
+    # ---- prior mesh -------------------------------------------------------
+    def get_prior_mesh(self, grid: DeviceTetGrid, v_cap: int, f_cap: int,
+                       total_iter=0, jitter_rng=None, feats=None):
+        """getMesh (`dmtet.py:294-310`): optional global grid jitter →
+        SDF over the grid → marching tets → batched Mesh (batch 1).
+        Returns (mesh, sdf) — sdf is reused by the regularizers."""
+        shape = self.cfg.cfg_shape
+        pos = grid.verts * shape.spatial_scale
+        if jitter_rng is not None and shape.jitter_grid > 0:
+            jitter = (jax.random.uniform(jitter_rng, ()) * 2 - 1) \
+                * shape.jitter_grid * shape.spatial_scale
+            pos = pos + jitter
+        sdf = self.get_sdf(pos, feats=feats)[..., 0]
+        out = dmtet.marching_tets(pos, sdf, grid, v_cap, f_cap)
+        mesh = make_mesh(out.verts[None], out.faces, out.v_valid, out.f_valid,
+                         out.num_verts, out.num_faces, face_gidx=out.face_gidx)
+        return mesh, sdf
+
+    def __call__(self, grid: DeviceTetGrid, v_cap: int, f_cap: int,
+                 total_iter=0, jitter_rng=None, feats=None):
+        return self.get_prior_mesh(grid, v_cap, f_cap, total_iter=total_iter,
+                                   jitter_rng=jitter_rng, feats=feats)
+
+    def init_all(self, grid: DeviceTetGrid, v_cap: int, f_cap: int,
+                 feats=None):
+        """Touch every submodule so `model.init` creates all parameters."""
+        mesh, sdf = self.get_prior_mesh(grid, v_cap, f_cap, feats=feats)
+        _ = self.dino_field(jnp.zeros((1, 1, 3)))
+        return mesh, sdf
+
+    # ---- regularizers -----------------------------------------------------
+    def sdf_reg_losses(self, grid: DeviceTetGrid, sdf, mesh: Mesh, rng,
+                       feats=None):
+        """BCE edge consistency + eikonal penalty on 5000 random + 5000
+        near-surface points (`dmtet.py:256-281`, `get_sdf_reg_loss`)."""
+        shape = self.cfg.cfg_shape
+        bce = dmtet.sdf_bce_reg_loss(sdf, grid.edges)
+
+        k1, k2, k3 = jax.random.split(rng, 3)
+        n = 5000
+        rand_pts = (jax.random.uniform(k1, (n, 3)) - 0.5) * shape.spatial_scale
+        v_cap = mesh.v_pos.shape[1]
+        # sample valid surface verts: the vertex buffer is compacted, so
+        # uniform indices below num_verts are all valid
+        hi = jnp.maximum(mesh.num_verts, 1)
+        idx = jax.random.randint(k2, (n,), 0, hi)
+        surf = jax.lax.stop_gradient(mesh.v_pos[0])[jnp.clip(idx, 0, v_cap - 1)]
+        surf = surf + (jax.random.uniform(k3, (n, 3)) - 0.5) \
+            * 0.1 * shape.spatial_scale
+        pts = jnp.concatenate([rand_pts, surf], 0)
+
+        def sdf_at(p):
+            return self.get_sdf(p[None], feats=feats)[0, 0]
+
+        grads = jax.vmap(jax.grad(sdf_at))(pts)
+        eikonal = jnp.mean((jnp.linalg.norm(grads, axis=-1) - 1.0) ** 2)
+        return {"sdf_bce_reg_loss": bce, "sdf_gradient_reg_loss": eikonal}
