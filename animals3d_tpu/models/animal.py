@@ -1,0 +1,481 @@
+"""AnimalModel: loss orchestration + the jitted training forward.
+
+Reference: `/root/reference/model/models/AnimalModel.py` (losses `:260-354`,
+forward `:356-515`). Functional redesign:
+
+  * `forward(params, batch, total_iter, rng, phase)` is a *pure* function
+    returning (total_loss, (metrics, aux)) — `jax.value_and_grad` over it is
+    the whole backward pass; no DDP dummy-grad hacks are needed (unused
+    submodules simply get zero gradients by construction);
+  * iteration gating that changes *shapes or control flow* (tet-grid
+    resolution, deform/articulation enable, leg attachment) is a static
+    `Phase` — at most a handful of compiled graphs over a training run
+    (`AnimalModel.py:376-381` + predictor gates); smooth schedules and
+    loss-weight gates stay traced;
+  * mixed precision: TPU-native bf16 is applied at the train-step level
+    (no GradScaler — bf16 keeps f32 range).
+
+Batch contract: a dict with keys
+  images (B,F,3,H,W) [0,1] · masks (B,F,1,H,W) · mask_dt (B,F,2,H,W) ·
+  mask_valid (B,F,H,W) · flows (B,F-1,2,H,W)|None · bboxs (B,F,8|9) ·
+  bg_images (B,F,3,H,W)|None · dino_features (B,F,D,h,w)|None ·
+  dino_clusters|None · seq_idx (B,) · frame_idx (B,F)
+— the reference 11-tuple (`SURVEY.md` §2.9) with None-ness static.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from animals3d_tpu import config as cfglib
+from animals3d_tpu.geometry import tets as tetlib
+from animals3d_tpu.geometry.tets import DeviceTetGrid
+from animals3d_tpu.ops.image import resize_nchw
+from animals3d_tpu.predictors import (BasePredictor, BasePredictorConfig,
+                                      InstancePredictor,
+                                      InstancePredictorConfig)
+from animals3d_tpu.render.render import render_mesh
+from animals3d_tpu.utils.smooth_loss import smooth_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    lr: float = 0.0001
+    weight_decay: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    spatial_scale: float = 5.0
+    background_mode: str = "none"
+    render_flow: bool = False
+    cam_pos_z_offset: float = 10.0
+    fov: float = 25.0
+    renderer_spp: int = 1
+    render_default: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    mask_loss_weight: float = 10.0
+    mask_dt_loss_weight: float = 0.0
+    mask_inv_dt_loss_weight: float = 100.0
+    rgb_loss_weight: float = 1.0
+    dino_feat_im_loss_weight: float = 10.0
+    sdf_reg_decay_start_iter: int = 10000
+    sdf_bce_reg_loss_weight: float = 0.0
+    sdf_gradient_reg_loss_weight: float = 0.01
+    logit_loss_weight: float = 1.0
+    logit_loss_target_weight: float = 0.0
+    logit_loss_dino_feat_im_loss_multiplier: float = 50.0
+    arti_reg_loss_iter_range: Tuple[float, float] = (60000, float("inf"))
+    arti_reg_loss_weight: float = 0.1
+    deform_reg_loss_weight: float = 10.0
+    prior_normal_reg_loss_weight: float = 0.0
+    instance_normal_reg_loss_weight: float = 0.0
+    smooth_type: str = "dislocation"
+    loss_type: str = "l2"
+    arti_smooth_loss_weight: float = 0.0
+    deform_smooth_loss_weight: float = 0.0
+    campose_smooth_loss_weight: float = 0.0
+    camposevel_smooth_loss_weight: float = 0.0
+    artivel_smooth_loss_weight: float = 0.0
+    bone_smooth_loss_weight: float = 0.0
+    bonevel_smooth_loss_weight: float = 0.0
+    arti_recon_loss_weight: float = 0.0
+    kld_loss_weight: float = 0.001
+    mask_disc_loss_weight: float = 0.1
+    mask_disc_loss_rv_weight: float = 0.0
+    mask_disc_loss_iv_weight: float = 0.0
+    logit_loss_dino_feat_im_loss_multiplier_dict: Any = None
+    dino_feat_im_loss_weight_dict: Any = None
+    logit_loss_mask_multiplier: float = 0.05
+    logit_loss_mask_inv_dt_multiplier: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class AnimalModelConfig:
+    name: str = "MagicPony"
+    enable_render: bool = True
+
+
+class Phase(NamedTuple):
+    """Static (compile-time) schedule switches."""
+    use_coarse_grid: bool
+    deform_on: bool
+    articulation_on: bool
+    attach_legs: bool
+    is_training: bool = True
+
+    @property
+    def key(self):
+        return tuple(self)
+
+
+def expand_bf(x, b, f):
+    return None if x is None else x.reshape(b, f, *x.shape[1:])
+
+
+def collapse_bf(x):
+    return None if x is None else x.reshape(-1, *x.shape[2:])
+
+
+class AnimalModel:
+    """MagicPony base model; Fauna/Ponymation subclass it."""
+
+    def __init__(self, cfg: dict):
+        self.cfg_raw = cfg
+        self.name = cfg.get("name", "MagicPony")
+        self.cfg_model = cfglib.bind(AnimalModelConfig, cfg)
+        self.cfg_render = cfglib.bind(RenderConfig, cfg.get("cfg_render"))
+        self.cfg_loss = cfglib.bind(LossConfig, cfg.get("cfg_loss"))
+        self.cfg_optim_base = cfglib.bind(OptimizerConfig, cfg.get("cfg_optim_base"))
+        self.cfg_optim_instance = cfglib.bind(OptimizerConfig, cfg.get("cfg_optim_instance"))
+        self.cfg_predictor_base = cfglib.bind(BasePredictorConfig,
+                                              cfg.get("cfg_predictor_base"))
+        self.cfg_predictor_instance = cfglib.bind(InstancePredictorConfig,
+                                                  cfg.get("cfg_predictor_instance"))
+        ds = cfg.get("dataset") or {}
+        self.data_type = ds.get("data_type", "image")
+        self.in_image_size = ds.get("in_image_size", 256)
+        self.out_image_size = ds.get("out_image_size", 256)
+        self.num_frames = ds.get("num_frames", 1)
+        self.dino_feature_dim = self.cfg_predictor_base.cfg_dino.feature_dim
+
+        self.netBase = self.make_net_base()
+        self.netInstance = self.make_net_instance()
+        self._grids: Dict[int, DeviceTetGrid] = {}
+
+    # -- construction hooks (overridden by Fauna/Ponymation) ---------------
+    def make_net_base(self):
+        return BasePredictor(cfg=self.cfg_predictor_base)
+
+    def make_net_instance(self):
+        return InstancePredictor(cfg=self.cfg_predictor_instance)
+
+    # -- grids --------------------------------------------------------------
+    def grid_for_phase(self, phase: Phase) -> tuple[DeviceTetGrid, int, int]:
+        shape_cfg = self.cfg_predictor_base.cfg_shape
+        res = shape_cfg.grid_res_coarse if phase.use_coarse_grid \
+            else shape_cfg.grid_res
+        if res not in self._grids:
+            self._grids[res] = DeviceTetGrid(tetlib.load_tet_grid(res))
+        v_cap, f_cap = tetlib.default_capacity(res)
+        return self._grids[res], v_cap, f_cap
+
+    def phase_for_iter(self, total_iter: int, is_training: bool = True) -> Phase:
+        shape_cfg = self.cfg_predictor_base.cfg_shape
+        inst = self.cfg_predictor_instance
+        coarse = shape_cfg.grid_res_coarse_iter_range is not None and \
+            cfglib.in_range(total_iter, shape_cfg.grid_res_coarse_iter_range,
+                            default_indicator=-1)
+        deform = inst.enable_deform and cfglib.in_range(
+            total_iter, inst.cfg_deform.deform_iter_range, default_indicator=-1)
+        arti = inst.enable_articulation and cfglib.in_range(
+            total_iter, inst.cfg_articulation.articulation_iter_range,
+            default_indicator=-1)
+        attach = inst.enable_articulation and cfglib.in_range(
+            total_iter, inst.cfg_articulation.attach_legs_to_body_iter_range,
+            default_indicator=-1)
+        return Phase(bool(coarse), bool(deform), bool(arti), bool(attach),
+                     bool(is_training))
+
+    # -- init ---------------------------------------------------------------
+    def init_params(self, rng) -> dict:
+        grid, v_cap, f_cap = self.grid_for_phase(
+            self.phase_for_iter(0))
+        k1, k2, k3 = jax.random.split(rng, 3)
+        base_params = self.netBase.init(k1, grid, v_cap, f_cap,
+                                        method=BasePredictor.init_all)["params"]
+        prior_mesh, _ = self.netBase.apply({"params": base_params}, grid,
+                                           v_cap, f_cap)
+        images = jnp.zeros((1, self.num_frames, 3, self.in_image_size,
+                            self.in_image_size))
+        inst_params = self.netInstance.init(
+            k2, images, prior_mesh, 0, k3,
+            method=InstancePredictor.init_all)["params"]
+        return {"netBase": base_params, "netInstance": inst_params}
+
+    # -- loss weights -------------------------------------------------------
+    def loss_weight(self, name: str, total_iter):
+        return getattr(self.cfg_loss, f"{name}_weight")
+
+    def dino_logit_multiplier(self, total_iter):
+        return self.cfg_loss.logit_loss_dino_feat_im_loss_multiplier
+
+    # -- losses -------------------------------------------------------------
+    def compute_reconstruction_losses(self, image_pred, image_gt, mask_pred,
+                                      mask_gt, mask_dt, mask_valid, flow_pred,
+                                      flow_gt, dino_gt, dino_pred,
+                                      background_mode="none"):
+        """Per-(B,F) unreduced losses (`AnimalModel.py:260-307`)."""
+        losses = {}
+        B, F = image_pred.shape[:2]
+        mean_bf = lambda x: x.reshape(B, F, -1).mean(2)
+
+        mask_pred_valid = mask_pred * mask_valid
+        losses["mask_loss"] = mean_bf((mask_pred_valid - mask_gt) ** 2)
+        losses["mask_dt_loss"] = mean_bf(mask_pred * mask_dt[:, :, 1])
+        losses["mask_inv_dt_loss"] = mean_bf((1 - mask_pred) * mask_dt[:, :, 0])
+
+        # intersection mask eroded by one pixel (3x3 avgpool > 0.99)
+        both = jax.lax.stop_gradient(
+            (mask_pred_valid > 0).astype(image_pred.dtype) * mask_gt)
+        both = collapse_bf(both)[:, None]                     # (BF,1,H,W)
+        kernel = jnp.ones((1, 1, 3, 3), both.dtype) / 9.0
+        eroded = jax.lax.conv_general_dilated(both, kernel, (1, 1),
+                                              [(1, 1), (1, 1)])
+        both = jax.lax.stop_gradient(
+            (eroded[:, 0] > 0.99).astype(image_pred.dtype))
+        both = expand_bf(both, B, F)                          # (B,F,H,W)
+
+        rgb = jnp.abs(image_pred - image_gt)
+        if background_mode not in ("background", "input"):
+            rgb = rgb * both[:, :, None]
+        losses["rgb_loss"] = mean_bf(rgb)
+
+        if flow_pred is not None and flow_gt is not None and F > 1:
+            fl = (flow_pred - flow_gt) ** 2
+            fl_mask = jnp.broadcast_to(both[:, :-1, None], flow_gt.shape)
+            large = ((jnp.abs(flow_gt) > 0.5) * fl_mask).reshape(B, F - 1, -1) \
+                .sum(2) > 0
+            fl = fl * fl_mask * (1 - large[:, :, None, None, None]
+                                 .astype(fl.dtype))
+            denom = jnp.maximum(fl_mask.reshape(B, F - 1, -1).sum(2), 1.0)
+            losses["flow_loss"] = fl.reshape(B, F - 1, -1).sum(2) / denom
+
+        if dino_pred is not None and dino_gt is not None:
+            dl = (dino_pred - dino_gt) ** 2 * both[:, :, None]
+            losses["dino_feat_im_loss"] = mean_bf(dl)
+        return losses
+
+    def compute_regularizers(self, params, grid, sdf, prior_mesh, rng,
+                             arti_params=None, deformation=None,
+                             pose_raw=None, posed_bones=None,
+                             class_vector=None, batch_size=1, num_frames=1):
+        """(`AnimalModel.py:309-354`)"""
+        losses = dict(self.netBase.apply(
+            {"params": params["netBase"]}, grid, sdf, prior_mesh, rng,
+            feats=class_vector, method=BasePredictor.sdf_reg_losses))
+        if arti_params is not None:
+            losses["arti_reg_loss"] = jnp.mean(arti_params ** 2)
+        if deformation is not None:
+            losses["deform_reg_loss"] = jnp.mean(deformation ** 2)
+        if prior_mesh is not None and \
+                self.cfg_loss.prior_normal_reg_loss_weight > 0:
+            faces = prior_mesh.t_pos_idx
+            adj = jnp.concatenate([faces[:, 0:2], faces[:, 1:3]], 0)  # (2Fc,2)
+            n = prior_mesh.v_nrm[0][adj]                              # (2Fc,2,3)
+            diffs = 1.0 - jnp.sum(n[:, 0] * n[:, 1], -1)
+            w = jnp.concatenate([prior_mesh.f_valid] * 2).astype(diffs.dtype)
+            losses["prior_normal_reg_loss"] = \
+                jnp.sum(diffs * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        if "sequence" in self.data_type and self.num_frames > 1:
+            cl = self.cfg_loss
+            sm = lambda x: smooth_loss(x, cl.smooth_type, cl.loss_type)
+            b, f = batch_size, num_frames
+            if cl.deform_smooth_loss_weight > 0 and deformation is not None:
+                losses["deform_smooth_loss"] = sm(expand_bf(deformation, b, f))
+            if arti_params is not None:
+                if cl.arti_smooth_loss_weight > 0:
+                    losses["arti_smooth_loss"] = sm(arti_params)
+                if cl.artivel_smooth_loss_weight > 0:
+                    losses["artivel_smooth_loss"] = sm(
+                        arti_params[:, 1:] - arti_params[:, :-1])
+            if pose_raw is not None:
+                campose = expand_bf(pose_raw, b, f)
+                if cl.campose_smooth_loss_weight > 0:
+                    losses["campose_smooth_loss"] = sm(campose)
+                if cl.camposevel_smooth_loss_weight > 0:
+                    losses["camposevel_smooth_loss"] = sm(
+                        campose[:, 1:] - campose[:, :-1])
+            if posed_bones is not None:
+                if cl.bone_smooth_loss_weight > 0:
+                    losses["bone_smooth_loss"] = sm(posed_bones)
+                if cl.bonevel_smooth_loss_weight > 0:
+                    losses["bonevel_smooth_loss"] = sm(
+                        posed_bones[:, 1:] - posed_bones[:, :-1])
+        return losses
+
+    # -- rendering helpers --------------------------------------------------
+    def background_image(self, N, h, w, dtype=jnp.float32):
+        mode = self.cfg_render.background_mode
+        if mode in ("none", "black"):
+            return jnp.zeros((N, h, w, 3), dtype)
+        if mode == "white":
+            return jnp.ones((N, h, w, 3), dtype)
+        if mode == "checkerboard":
+            ys = (jnp.arange(h) // 8)[:, None]
+            xs = (jnp.arange(w) // 8)[None, :]
+            checker = ((ys + xs) % 2).astype(dtype) * 0.5 + 0.25
+            return jnp.broadcast_to(checker[None, :, :, None], (N, h, w, 3))
+        raise NotImplementedError(mode)
+
+    def render(self, params, render_modes, shape, mvp, w2c, campos,
+               resolution, im_features=None, light_params=None,
+               prior_mesh=None, use_dino=False, num_frames=None,
+               class_vector=None, spp=None, background=None):
+        """Functional analogue of `AnimalModel.render` (`:217-258`)."""
+        h, w = resolution
+        N = mvp.shape[0]
+        material_fn = None
+        if im_features is not None:
+            material_fn = lambda tex_pos: self.netInstance.apply(
+                {"params": params["netInstance"]}, tex_pos, im_features,
+                method=InstancePredictor.sample_texture)
+        dino_fn = None
+        if use_dino:
+            dino_fn = lambda tex_pos: self.netBase.apply(
+                {"params": params["netBase"]}, tex_pos, class_vector,
+                method=BasePredictor.dino_field)
+        if background is None:
+            background = self.background_image(N, h, w)
+        return render_mesh(
+            shape, mvp, w2c, campos, (h, w), material_fn=material_fn,
+            light_params=light_params, background=background,
+            spp=spp or self.cfg_render.renderer_spp,
+            render_modes=render_modes, prior_mesh=prior_mesh,
+            dino_fn=dino_fn, num_frames=num_frames)
+
+    # -- the training forward ----------------------------------------------
+    def forward(self, params, batch, total_iter, rng, phase: Phase):
+        """Pure loss computation. Returns (total_loss, (metrics, aux))."""
+        images = batch["images"]
+        B, F = images.shape[:2]
+        h = w = self.out_image_size
+        mask_gt = (batch["masks"][:, :, 0] > 0.9).astype(images.dtype)
+        mask_dt = batch["mask_dt"] / self.in_image_size
+        mask_valid = batch["mask_valid"]
+        flow_gt = batch.get("flows")
+        dino_feat_im = batch.get("dino_features")
+
+        dino_gt = None
+        if dino_feat_im is not None:
+            d = resize_nchw(collapse_bf(dino_feat_im), (h, w))
+            dino_gt = expand_bf(d, B, F)[:, :, :self.dino_feature_dim]
+        image_gt = images
+        if self.out_image_size != self.in_image_size:
+            image_gt = expand_bf(
+                resize_nchw(collapse_bf(image_gt), (h, w)), B, F)
+            if flow_gt is not None:
+                flow_gt = expand_bf(
+                    resize_nchw(collapse_bf(flow_gt), (h, w)), B, F - 1)
+
+        rngs = jax.random.split(rng, 4)
+        grid, v_cap, f_cap = self.grid_for_phase(phase)
+        prior_mesh, sdf, class_vector, bank_aux = self.forward_base(
+            params, grid, v_cap, f_cap, total_iter, rngs[0], phase, batch)
+
+        (shape, pose_raw, pose, mvp, w2c, campos, im_features, feat_key,
+         deformation, arti_params, light_params, fw_aux) = \
+            self.netInstance.apply(
+                {"params": params["netInstance"]}, images, prior_mesh,
+                total_iter, rngs[1], phase.is_training, phase.deform_on,
+                phase.articulation_on, phase.attach_legs)
+
+        final_losses = {}
+        metrics = {}
+        render_flow = self.cfg_render.render_flow and F > 1
+        render_modes = ["shaded", "dino_pred"] + (["flow"] if render_flow else [])
+        renders = self.render(
+            params, render_modes, shape, mvp, w2c, campos, (h, w),
+            im_features=im_features, light_params=light_params,
+            prior_mesh=prior_mesh, use_dino=True, num_frames=F,
+            class_vector=class_vector)
+        shaded = expand_bf(renders["shaded"], B, F)
+        dino_pred = expand_bf(renders["dino_pred"], B, F)
+        flow_pred = expand_bf(renders["flow"], B, F)[:, :-1] \
+            if render_flow else None
+        image_pred = shaded[:, :, :3]
+        mask_pred = shaded[:, :, 3]
+
+        losses = self.compute_reconstruction_losses(
+            image_pred, image_gt, mask_pred, mask_gt, mask_dt, mask_valid,
+            flow_pred, flow_gt, dino_gt, dino_pred,
+            background_mode=self.cfg_render.background_mode)
+
+        # hypothesis-probability weighting + logit loss (`:446-472`)
+        rot_logit = fw_aux["rot_logit"]
+        rot_prob = jax.lax.stop_gradient(fw_aux["rot_prob"])
+        rot_idx = fw_aux["rot_idx"]
+        num_hypos = self.netInstance.num_pose_hypos
+        logit_target = jnp.zeros((B, F), images.dtype)
+        for name, loss in losses.items():
+            weight = self.loss_weight(name, total_iter)
+            if name == "dino_feat_im_loss":
+                weight = weight * self.dino_logit_multiplier(total_iter)
+            # pad (B, F-1) losses (flow) to (B, F) for the logit target
+            loss_bf = loss if loss.shape[1] == F else jnp.pad(
+                loss, ((0, 0), (0, F - loss.shape[1])))
+            logit_target = logit_target + loss_bf * weight
+
+            prob = rot_prob.reshape(B, F)[:, :loss.shape[1]]
+            loss = loss * prob * num_hypos
+            if name == "flow_loss" and F > 1:
+                ri = rot_idx.reshape(B, F)
+                same = (ri[:, 1:] == ri[:, :-1]).astype(loss.dtype)
+                loss = loss * same
+            final_losses[name] = loss.mean()
+        logit_target = jax.lax.stop_gradient(collapse_bf(logit_target))
+        final_losses["logit_loss"] = jnp.mean((rot_logit - logit_target) ** 2)
+        metrics["logit_loss_target"] = logit_target.mean()
+
+        regs = self.compute_regularizers(
+            params, grid, sdf, prior_mesh, rngs[2],
+            arti_params=arti_params, deformation=deformation,
+            pose_raw=pose_raw, posed_bones=fw_aux.get("posed_bones"),
+            class_vector=class_vector, batch_size=B, num_frames=F)
+        final_losses.update(regs)
+
+        total = 0.0
+        for name, loss in final_losses.items():
+            weight = self.loss_weight(name, total_iter)
+            if isinstance(weight, (int, float)) and weight <= 0:
+                continue
+            gate = 1.0
+            tex_range = self.cfg_predictor_instance.cfg_texture.texture_iter_range
+            if name == "rgb_loss":
+                gate = _in_range_traced(total_iter, tex_range)
+            if name == "arti_reg_loss":
+                gate = _in_range_traced(total_iter,
+                                        self.cfg_loss.arti_reg_loss_iter_range)
+            total = total + loss * weight * gate
+
+        total = total + self.extra_losses(
+            params, batch, total_iter, final_losses, metrics, locals())
+
+        metrics.update({k: v for k, v in final_losses.items()})
+        metrics["loss"] = total
+        aux = {"mask_pred": mask_pred, "image_pred": image_pred,
+               "shape": shape, "prior_mesh": prior_mesh, "pose": pose,
+               "mvp": mvp, "w2c": w2c, "campos": campos,
+               "im_features": im_features, "light_params": light_params,
+               "arti_params": arti_params, "class_vector": class_vector,
+               **{k: fw_aux[k] for k in ("rot_idx", "rand_pose_flag")}}
+        return total, (metrics, aux)
+
+    # -- hooks for subclasses ------------------------------------------------
+    def forward_base(self, params, grid, v_cap, f_cap, total_iter, rng,
+                     phase: Phase, batch):
+        """netBase forward; Fauna overrides to thread the memory bank."""
+        jitter = rng if phase.is_training else None
+        prior_mesh, sdf = self.netBase.apply(
+            {"params": params["netBase"]}, grid, v_cap, f_cap, total_iter,
+            jitter)
+        return prior_mesh, sdf, None, {}
+
+    def extra_losses(self, params, batch, total_iter, final_losses, metrics,
+                     ctx):
+        return 0.0
+
+
+def _in_range_traced(total_iter, rng_pair):
+    lo, hi = float(rng_pair[0]), float(rng_pair[1])
+    x = jnp.asarray(total_iter, jnp.float32)
+    ok = (x >= lo) & ((x < hi) if np.isfinite(hi) else jnp.asarray(True))
+    return ok.astype(jnp.float32)

@@ -104,6 +104,15 @@ class ViTEncoder(nn.Module):
 class InstancePredictor(nn.Module):
     cfg: InstancePredictorConfig
 
+    @property
+    def num_pose_hypos(self) -> int:
+        return 8 if self.cfg.cfg_pose.rot_rep == "octlookat" else 4
+
+    @property
+    def num_bones(self) -> int:
+        a = self.cfg.cfg_articulation
+        return a.num_body_bones + a.num_legs * a.num_leg_bones
+
     def setup(self):
         cfg = self.cfg
         scalar = 2 * np.pi / cfg.spatial_scale * 0.9
@@ -130,11 +139,7 @@ class InstancePredictor(nn.Module):
         self.max_trans_xyz_range = np.array([
             pose.max_trans_xy_range_ratio, pose.max_trans_xy_range_ratio,
             pose.max_trans_z_range_ratio], np.float32) * half_range
-        if pose.rot_rep == "quadlookat":
-            self.num_pose_hypos = 4
-        elif pose.rot_rep == "octlookat":
-            self.num_pose_hypos = 8
-        else:
+        if pose.rot_rep not in ("quadlookat", "octlookat"):
             raise NotImplementedError(pose.rot_rep)
         pose_cout = 4 * self.num_pose_hypos + 3
         self.netPose = Encoder32(cout=pose_cout, nf=256)
@@ -149,7 +154,6 @@ class InstancePredictor(nn.Module):
 
         if cfg.enable_articulation:
             a = cfg.cfg_articulation
-            self.num_bones = a.num_body_bones + a.num_legs * a.num_leg_bones
             feat_dim = {"global": enc_dim, "sample": vit_feat_dim,
                         "sample+global": vit_feat_dim + enc_dim}[a.bone_feature_mode]
             self.netArticulation = ArticulationNetwork(
