@@ -1,0 +1,70 @@
+"""Device mesh + sharding layer — the whole "distributed backend".
+
+The reference's only parallelism is DDP via HF Accelerate over NCCL
+(SURVEY.md §2.12: `Trainer.py:169-180`, gradient allreduce inside
+`accelerator.backward`). TPU-native equivalent: one `jax.sharding.Mesh`
+with a `dp` axis; the batch is sharded over `dp`, parameters are replicated,
+and the gradient `psum` is inserted by XLA when jit partitions the
+mean-over-batch loss — collectives ride ICI with zero explicit backend code.
+
+The reference's DDP warts (dummy `p.sum()*0` grads for unused params,
+`wait_for_everyone` barriers, main-process-only guards) have no equivalent
+here: unused params get zero grads by construction and jit is SPMD.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_MESH: Optional[Mesh] = None
+
+
+def get_mesh(mesh_shape: Optional[dict] = None, devices=None) -> Mesh:
+    """Build (or fetch the cached) 1-D dp mesh over local devices.
+
+    mesh_shape: e.g. {'dp': 8}; None = all devices on one dp axis.
+    """
+    global _MESH
+    if _MESH is not None and mesh_shape is None and devices is None:
+        return _MESH
+    devices = devices if devices is not None else jax.devices()
+    if mesh_shape:
+        (axis, n), = mesh_shape.items()
+        assert axis == "dp", "only a dp axis is meaningful for this workload"
+        devices = devices[:n]
+    mesh = Mesh(np.asarray(devices), ("dp",))
+    if mesh_shape is None:
+        _MESH = mesh
+    return mesh
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Device-put a host batch dict with the leading axis over dp."""
+    sharding = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def put(x):
+        if x is None:
+            return None
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % mesh.size == 0:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, rep)
+
+    return {k: put(v) for k, v in batch.items()}
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    rep = replicated(mesh)
+    return jax.device_put(tree, rep)

@@ -63,7 +63,11 @@ def render_mesh(
 ) -> dict:
     H, W = resolution
     full_res = (H * spp, W * spp)
-    B = mesh.v_pos.shape[0]
+    B = mtx_in.shape[0]
+    # a batch-1 mesh (prior shape rendered from N cameras) broadcasts to N,
+    # matching the reference's implicit torch matmul broadcasting
+    if mesh.v_pos.shape[0] == 1 and B > 1:
+        mesh = mesh.extend(B)
     faces = mesh.t_pos_idx
 
     v_clip = xfm_points(mesh.v_pos, mtx_in)                  # (B, V, 4)

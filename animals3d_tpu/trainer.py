@@ -1,0 +1,240 @@
+"""Trainer: the jitted training loop, checkpointing, logging.
+
+Reference: `/root/reference/model/Trainer.py` (config `:15-50`, train loop
+`:232-311`, test `:129-146`). TPU redesign:
+
+  * one jitted, phase-keyed `train_step(params, opt_state, batch, it, rng)`
+    with donated state — forward+backward+update is a single XLA program;
+  * data parallelism: batch sharded over the `dp` mesh axis, params
+    replicated; gradient psum is inserted by XLA (parallel/mesh.py);
+  * optimizers: optax adam per predictor via multi_transform partitions
+    (`AnimalModel.get_optimizer`, `AnimalModel.py:756-758`), frozen ViT
+    masked to zero updates;
+  * checkpoints: orbax with iteration naming / retention / tolerant restore
+    (checkpoint.py); metrics: meters + tensorboardX + metrics.json.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from animals3d_tpu import checkpoint as ckpt
+from animals3d_tpu import config as cfglib
+from animals3d_tpu.data.loaders import DataLoaderConfig, get_data_loaders
+from animals3d_tpu.parallel import mesh as meshlib
+from animals3d_tpu.utils.meters import MetricsTrace, StandardMetrics
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    run_train: bool = False
+    run_test: bool = False
+    seed: int = 0
+    num_iters: int = 1
+    checkpoint_dir: str = "results"
+    checkpoint_name: Optional[str] = None
+    save_checkpoint_freq: int = 5000
+    keep_num_checkpoint: int = 2
+    resume: bool = True
+    archive_code: bool = False
+    test_result_dir: Optional[str] = None
+    use_logger: bool = True
+    logger_type: str = "tensorboard"
+    log_loss_freq: int = 50
+    log_image_freq: int = 500
+    log_train: bool = True
+    log_val: bool = True
+    fix_log_batch: bool = False
+    save_train_result_freq: Optional[int] = None
+    mixed_precision: Optional[str] = "bf16"
+    disc_train: bool = False
+    remake_dataloader_iter: int = -1
+    mesh_shape: Optional[Any] = None
+
+
+def make_optimizer(model, params):
+    """Per-predictor adam + frozen-ViT masking via multi_transform."""
+
+    def label_fn(params):
+        def label(path, leaf):
+            keys = [getattr(p, "key", str(p)) for p in path]
+            if any("ViT" == k for k in keys):
+                return "frozen"
+            return "base" if keys[0] == "netBase" else "instance"
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    def adam(cfg):
+        if cfg.weight_decay:
+            return optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+        return optax.adam(cfg.lr)
+
+    transforms = {
+        "base": adam(model.cfg_optim_base),
+        "instance": adam(model.cfg_optim_instance),
+        "frozen": optax.set_to_zero(),
+    }
+    extra = getattr(model, "extra_optimizers", None)
+    if extra:
+        transforms.update(extra())
+    return optax.multi_transform(transforms, label_fn)
+
+
+class Trainer:
+    def __init__(self, cfg: dict, model):
+        self.cfg_full = cfg
+        self.cfg = cfglib.bind(TrainerConfig, cfg)
+        self.model = model
+        ds_cfg = dict(cfg.get("dataset") or {})
+        ds_cfg.pop("path", None)
+        self.cfg_dataset = cfglib.bind(DataLoaderConfig, ds_cfg)
+        self.mesh = meshlib.get_mesh(self.cfg.mesh_shape)
+        self.metrics_trace = MetricsTrace()
+        self._train_steps = {}       # phase.key -> compiled step
+        self._writer = None
+
+    # ------------------------------------------------------------------
+    def _logger(self):
+        if not self.cfg.use_logger or self._writer is not None:
+            return self._writer
+        logdir = os.path.join(self.cfg.checkpoint_dir, "logs")
+        os.makedirs(logdir, exist_ok=True)
+        try:
+            from tensorboardX import SummaryWriter
+            self._writer = SummaryWriter(logdir, flush_secs=10)
+        except ImportError:
+            self._writer = None
+        return self._writer
+
+    def _train_step_for(self, phase, optimizer):
+        key = phase.key
+        if key not in self._train_steps:
+            model = self.model
+
+            def step(params, opt_state, batch, total_iter, rng):
+                (loss, (metrics, _aux)), grads = jax.value_and_grad(
+                    model.forward, has_aux=True)(params, batch, total_iter,
+                                                 rng, phase)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, metrics
+
+            self._train_steps[key] = jax.jit(step, donate_argnums=(0, 1))
+        return self._train_steps[key]
+
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        rng, init_rng = jax.random.split(rng)
+
+        params = self.model.init_params(init_rng)
+        optimizer = make_optimizer(self.model, params)
+        opt_state = optimizer.init(params)
+
+        total_iter = 0
+        if cfg.resume:
+            state = {"params": params, "opt_state": opt_state}
+            state, total_iter = ckpt.load_checkpoint(cfg.checkpoint_dir, state)
+            params, opt_state = state["params"], state["opt_state"]
+
+        params = meshlib.replicate(params, self.mesh)
+        opt_state = meshlib.replicate(opt_state, self.mesh)
+
+        train_loader, val_loader, _ = get_data_loaders(self.cfg_dataset)
+        assert train_loader is not None, "train_data_dir not configured"
+        writer = self._logger()
+        metrics = StandardMetrics()
+        epoch_len = max(len(train_loader), 1)
+
+        print(f"training {self.model.name}: {cfg.num_iters} iters, "
+              f"batch {self.cfg_dataset.batch_size}, mesh {self.mesh.shape}")
+        t_start = time.time()
+        train_iter = iter(train_loader)
+        while total_iter < cfg.num_iters:
+            try:
+                batch = next(train_iter)
+            except StopIteration:
+                train_iter = iter(train_loader)
+                batch = next(train_iter)
+
+            phase = self.model.phase_for_iter(total_iter)
+            step_fn = self._train_step_for(phase, optimizer)
+            rng, step_rng = jax.random.split(rng)
+            device_batch = meshlib.shard_batch(batch, self.mesh)
+            params, opt_state, step_metrics = step_fn(
+                params, opt_state, device_batch, total_iter, step_rng)
+            total_iter += 1
+
+            if total_iter % cfg.log_loss_freq == 0 or total_iter == 1:
+                host_metrics = {k: float(v) for k, v in
+                                jax.device_get(step_metrics).items()
+                                if np.ndim(v) == 0}
+                bsz = batch["images"].shape[0]
+                metrics.update(host_metrics, bsz)
+                epoch = total_iter // epoch_len
+                print(f"T{total_iter:07d}/{epoch:04d}/{metrics}")
+                if writer is not None:
+                    for k, v in host_metrics.items():
+                        writer.add_scalar(f"train_loss/{k}", v, total_iter)
+                    writer.add_scalar("train/speed", metrics.speed.get(),
+                                      total_iter)
+                self.metrics_trace.push(epoch, "train", host_metrics)
+
+            if total_iter % cfg.save_checkpoint_freq == 0 and \
+                    jax.process_index() == 0:
+                ckpt.save_checkpoint(
+                    cfg.checkpoint_dir, total_iter,
+                    {"params": params, "opt_state": opt_state},
+                    keep_num=cfg.keep_num_checkpoint)
+                self.metrics_trace.save(
+                    os.path.join(cfg.checkpoint_dir, "metrics.json"))
+
+        if jax.process_index() == 0:
+            ckpt.save_checkpoint(cfg.checkpoint_dir, total_iter,
+                                 {"params": params, "opt_state": opt_state},
+                                 keep_num=cfg.keep_num_checkpoint)
+            os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+            self.metrics_trace.save(
+                os.path.join(cfg.checkpoint_dir, "metrics.json"))
+        wall = time.time() - t_start
+        print(f"done: {total_iter} iters in {wall:.1f}s "
+              f"({metrics.speed.get():.2f} imgs/s)")
+        return params
+
+    # ------------------------------------------------------------------
+    def test(self):
+        cfg = self.cfg
+        params = self.model.init_params(jax.random.PRNGKey(cfg.seed))
+        state = {"params": params}
+        state, total_iter = ckpt.load_checkpoint(
+            cfg.checkpoint_dir, state, checkpoint_name=cfg.checkpoint_name)
+        params = state["params"]
+
+        _, _, test_loader = get_data_loaders(self.cfg_dataset)
+        assert test_loader is not None, "test_data_dir not configured"
+        result_dir = cfg.test_result_dir or os.path.join(
+            cfg.checkpoint_dir, f"test_results_{total_iter:07d}")
+        os.makedirs(result_dir, exist_ok=True)
+
+        from animals3d_tpu.utils import results_io
+        phase = self.model.phase_for_iter(max(total_iter, 1) - 1,
+                                          is_training=False)
+        count = 0
+        for batch in test_loader:
+            device_batch = meshlib.shard_batch(batch, self.mesh)
+            rng = jax.random.PRNGKey(cfg.seed + count)
+            _, (metrics, aux) = self.model.forward(
+                params, device_batch, max(total_iter, 1) - 1, rng, phase)
+            results_io.save_results(self.model, batch, aux, result_dir,
+                                    start_index=count)
+            count += batch["images"].shape[0]
+        print(f"saved {count} test results to {result_dir}")
+        return result_dir

@@ -1,0 +1,80 @@
+"""End-to-end training-loop test on a synthetic tiny dataset."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from animals3d_tpu import config as cfglib
+from animals3d_tpu.data.synth import write_synth_dataset
+from animals3d_tpu.models import build_model
+from animals3d_tpu.trainer import Trainer
+
+from test_animal_model import TINY_OVERRIDES
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    write_synth_dataset(str(d / "train"), n=4, size=64, dino_dim=4)
+    write_synth_dataset(str(d / "test"), n=2, size=64, dino_dim=4)
+    return d
+
+
+def _cfg(synth_dir, ckpt_dir, extra=()):
+    overrides = TINY_OVERRIDES + [
+        f"dataset.train_data_dir={synth_dir}/train",
+        f"dataset.val_data_dir={synth_dir}/test",
+        f"dataset.test_data_dir={synth_dir}/test",
+        f"checkpoint_dir={ckpt_dir}",
+        "dataset.num_workers=2",
+        "num_iters=3",
+        "save_checkpoint_freq=2",
+        "log_loss_freq=1",
+        "use_logger=false",
+        *extra,
+    ]
+    return cfglib.load_config("train_magicpony_horse", overrides=overrides)
+
+
+def test_train_loop_and_resume(synth_dir, tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    cfg = _cfg(synth_dir, ckpt_dir)
+    model_cfg = dict(cfg["model"])
+    model_cfg["dataset"] = cfg["dataset"]
+    model = build_model(model_cfg)
+    trainer = Trainer(cfg, model)
+    trainer.train()
+
+    # checkpoint + metrics written
+    names = sorted(os.listdir(ckpt_dir))
+    assert any(n.startswith("checkpoint") for n in names), names
+    with open(os.path.join(ckpt_dir, "metrics.json")) as f:
+        data = json.load(f)
+    losses = [m["loss"] for m in data["train"]]
+    assert all(np.isfinite(l) for l in losses)
+
+    # resume: second trainer starts from the saved iteration
+    cfg2 = _cfg(synth_dir, ckpt_dir, extra=["num_iters=4"])
+    model2 = build_model({**dict(cfg2["model"]), "dataset": cfg2["dataset"]})
+    trainer2 = Trainer(cfg2, model2)
+    trainer2.train()
+    names2 = sorted(os.listdir(ckpt_dir))
+    assert any("0000004" in n for n in names2), names2
+
+
+def test_test_path_writes_artifacts(synth_dir, tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt_t")
+    cfg = _cfg(synth_dir, ckpt_dir, extra=["num_iters=1"])
+    model = build_model({**dict(cfg["model"]), "dataset": cfg["dataset"]})
+    Trainer(cfg, model).train()
+
+    cfg_t = _cfg(synth_dir, ckpt_dir,
+                 extra=["run_train=false", "run_test=true",
+                        "dataset.batch_size=2"])
+    model_t = build_model({**dict(cfg_t["model"]), "dataset": cfg_t["dataset"]})
+    result_dir = Trainer(cfg_t, model_t).test()
+    files = os.listdir(result_dir)
+    assert any(f.endswith("_mesh.obj") for f in files)
+    assert any(f.endswith("_image_pred.png") for f in files)
+    assert any(f.endswith("_pose.txt") for f in files)
