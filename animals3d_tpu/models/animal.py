@@ -35,6 +35,7 @@ from animals3d_tpu import config as cfglib
 from animals3d_tpu.geometry import tets as tetlib
 from animals3d_tpu.geometry.tets import DeviceTetGrid
 from animals3d_tpu.ops.image import resize_nchw
+from animals3d_tpu.phase import Phase
 from animals3d_tpu.predictors import (BasePredictor, BasePredictorConfig,
                                       InstancePredictor,
                                       InstancePredictorConfig)
@@ -103,19 +104,6 @@ class AnimalModelConfig:
     enable_render: bool = True
 
 
-class Phase(NamedTuple):
-    """Static (compile-time) schedule switches."""
-    use_coarse_grid: bool
-    deform_on: bool
-    articulation_on: bool
-    attach_legs: bool
-    is_training: bool = True
-
-    @property
-    def key(self):
-        return tuple(self)
-
-
 def expand_bf(x, b, f):
     return None if x is None else x.reshape(b, f, *x.shape[1:])
 
@@ -181,8 +169,11 @@ class AnimalModel:
         attach = inst.enable_articulation and cfglib.in_range(
             total_iter, inst.cfg_articulation.attach_legs_to_body_iter_range,
             default_indicator=-1)
-        return Phase(bool(coarse), bool(deform), bool(arti), bool(attach),
-                     bool(is_training))
+        return Phase(use_coarse_grid=bool(coarse), deform_on=bool(deform),
+                     articulation_on=bool(arti), attach_legs=bool(attach),
+                     is_training=bool(is_training),
+                     constrain_legs=bool(inst.cfg_articulation.constrain_legs),
+                     zeroy=bool(inst.cfg_pose.lookat_zeroy))
 
     # -- init ---------------------------------------------------------------
     def init_params(self, rng) -> dict:
@@ -375,8 +366,7 @@ class AnimalModel:
          deformation, arti_params, light_params, fw_aux) = \
             self.netInstance.apply(
                 {"params": params["netInstance"]}, images, prior_mesh,
-                total_iter, rngs[1], phase.is_training, phase.deform_on,
-                phase.articulation_on, phase.attach_legs)
+                total_iter, rngs[1], phase)
 
         final_losses = {}
         metrics = {}

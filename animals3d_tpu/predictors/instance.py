@@ -30,6 +30,7 @@ from animals3d_tpu.networks.encoders import Encoder32
 from animals3d_tpu.networks.mlp import CoordMLP
 from animals3d_tpu.networks.vit import DinoViT
 from animals3d_tpu.ops.image import grid_sample_bilinear
+from animals3d_tpu.phase import Phase
 from animals3d_tpu.predictors.config import InstancePredictorConfig
 from animals3d_tpu.render.camera import perspective
 from animals3d_tpu.render.light import DirectionalLight
@@ -175,8 +176,10 @@ class InstancePredictor(nn.Module):
         imgs = images.reshape(-1, *images.shape[2:]) * 2 - 1
         return self.netEncoder(imgs)
 
-    def forward_pose(self, patch_out, patch_key):
+    def forward_pose(self, patch_out, patch_key, zeroy=None):
         cfg = self.cfg.cfg_pose
+        if zeroy is None:
+            zeroy = cfg.lookat_zeroy
         feat = patch_key if cfg.architecture == "encoder_dino_patch_key" \
             else patch_out
         pose = self.netPose(feat)                              # (N, cout)
@@ -190,7 +193,7 @@ class InstancePredictor(nn.Module):
         xs = softplus_with_init(xs, 0.5)
         if cfg.rot_rep == "octlookat":
             ys = softplus_with_init(ys, 0.5)
-        if cfg.lookat_zeroy:
+        if zeroy:
             ys = ys * 0
         zs = softplus_with_init(zs, 0.5)
         fwd = jnp.stack([xs, ys, zs], -1) * jnp.asarray(
@@ -274,7 +277,7 @@ class InstancePredictor(nn.Module):
                     face_gidx=mesh.face_gidx)
         return mesh.deform(deform), deform
 
-    def apply_articulation_constraints(self, angles):
+    def apply_articulation_constraints(self, angles, phase: Phase):
         """(`InstancePredictorBase.py:435-511`) tanh + per-bone-group clamps."""
         a = self.cfg.cfg_articulation
         angles = angles * a.output_multiplier
@@ -285,7 +288,7 @@ class InstancePredictor(nn.Module):
         angles = jnp.tanh(angles)
         nb = a.num_body_bones
         n_leg_total = a.num_leg_bones * a.num_legs
-        if a.constrain_legs:
+        if phase.constrain_legs:
             legs = nb + np.arange(n_leg_total)
             scale = jnp.ones_like(angles)
             scale = scale.at[:, :, legs, 2].set(0.3)   # twist
@@ -371,7 +374,7 @@ class InstancePredictor(nn.Module):
         return bones, structure, bones_feat, pos_in
 
     def forward_articulation(self, mesh: Mesh, feat, patch_feat, mvp, w2c,
-                             batch_size, num_frames, attach_legs: bool):
+                             batch_size, num_frames, phase: Phase):
         """(`InstancePredictorBase.py:513-604`) bones → articulation net →
         constraints → skinning → articulated mesh."""
         a = self.cfg.cfg_articulation
@@ -384,12 +387,12 @@ class InstancePredictor(nn.Module):
 
         bones, structure, bones_feat, pos_in = self.get_bones(
             verts_bf, mesh.v_valid, feat, patch_feat, mvp, w2c,
-            batch_size, num_frames, attach_legs)
+            batch_size, num_frames, phase.attach_legs)
 
         K = self.num_bones
         angles = self.netArticulation(bones_feat, pos_in) \
             .reshape(batch_size, num_frames, K, 3)
-        angles = self.apply_articulation_constraints(angles)
+        angles = self.apply_articulation_constraints(angles, phase)
 
         posed, aux = sk.skinning(verts_bf, bones, structure, angles,
                                  output_posed_bones=True,
@@ -406,9 +409,7 @@ class InstancePredictor(nn.Module):
 
     # ------------------------------------------------------------------
     def __call__(self, images, prior_mesh: Mesh, total_iter, rng,
-                 is_training: bool = True, enable_deform_now: bool = False,
-                 enable_articulation_now: bool = False,
-                 attach_legs_now: bool = False):
+                 phase: Phase = Phase()):
         """Full instance forward (`InstancePredictorBase.py:665-698`).
 
         Returns the reference 12-tuple (shape, pose_raw, pose, mvp, w2c,
@@ -419,23 +420,23 @@ class InstancePredictor(nn.Module):
         batch_size, num_frames = images.shape[:2]
         feat_out, feat_key, patch_out, patch_key = self.forward_encoder(images)
 
-        poses_raw = self.forward_pose(patch_out, patch_key)
+        poses_raw = self.forward_pose(patch_out, patch_key, zeroy=phase.zeroy)
         rng_pose, rng = jax.random.split(rng)
         pose_raw, pose, aux = self.sample_pose_hypothesis(
             poses_raw, total_iter, rng_pose,
-            random_sample=(is_training and self.cfg.cfg_pose.rand_campos))
+            random_sample=(phase.is_training and self.cfg.cfg_pose.rand_campos))
         mvp, w2c, campos = self.get_camera_extrinsics_from_pose(pose)
 
         shape = prior_mesh
         deformation = None
-        if self.cfg.enable_deform and enable_deform_now:
+        if self.cfg.enable_deform and phase.deform_on:
             shape, deformation = self.forward_deformation(shape, feat_key)
 
         arti_params = None
-        if self.cfg.enable_articulation and enable_articulation_now:
+        if self.cfg.enable_articulation and phase.articulation_on:
             shape, arti_params, arti_aux = self.forward_articulation(
                 shape, feat_key, patch_key, mvp, w2c, batch_size, num_frames,
-                attach_legs_now)
+                phase)
             aux.update(arti_aux)
 
         light_params = self.netLight(feat_out) if self.cfg.enable_lighting \
@@ -455,10 +456,12 @@ class InstancePredictor(nn.Module):
         """Touch every submodule so `model.init` creates all parameters
         (texture isn't reached by `__call__`; deform/articulation are
         exercised regardless of schedule)."""
-        out = self(images, prior_mesh, total_iter, rng, is_training=True,
-                   enable_deform_now=self.cfg.enable_deform,
-                   enable_articulation_now=self.cfg.enable_articulation,
-                   attach_legs_now=True)
+        out = self(images, prior_mesh, total_iter, rng, Phase(
+            deform_on=self.cfg.enable_deform,
+            articulation_on=self.cfg.enable_articulation,
+            attach_legs=True,
+            constrain_legs=self.cfg.cfg_articulation.constrain_legs,
+            zeroy=self.cfg.cfg_pose.lookat_zeroy))
         feat_out = out[6]
         _ = self.sample_texture(jnp.zeros((feat_out.shape[0], 1, 3)), feat_out)
         return out

@@ -74,8 +74,7 @@ def main():
             {"params": params["netBase"]}, grid, v_cap, f_cap, 50000, None)
         out = model.netInstance.apply(
             {"params": params["netInstance"]}, images, prior_mesh, 50000,
-            rng, False, phase.deform_on, phase.articulation_on,
-            phase.attach_legs)
+            rng, phase._replace(is_training=False))
         (shape, pose_raw, pose, mvp, w2c, campos, im_features, feat_key,
          deformation, arti_params, light_params, aux) = out
         renders = model.render(

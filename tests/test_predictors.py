@@ -89,8 +89,11 @@ def test_instance_predictor_forward():
     params = model.init(rng, images, prior_mesh, 5000, jax.random.PRNGKey(1),
                         method=InstancePredictor.init_all)["params"]
 
+    from animals3d_tpu.phase import Phase
     out = model.apply({"params": params}, images, prior_mesh, 5000,
-                      jax.random.PRNGKey(2), True, True, True, False)
+                      jax.random.PRNGKey(2),
+                      Phase(deform_on=True, articulation_on=True,
+                            constrain_legs=True, zeroy=True))
     (shape, pose_raw, pose, mvp, w2c, campos, feat_out, feat_key,
      deformation, arti_params, light_params, aux) = out
     N = B * F
