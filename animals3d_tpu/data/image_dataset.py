@@ -40,6 +40,12 @@ class ImageDataset:
 
     def __getitem__(self, index):
         stem = self.samples[index % len(self.samples)]
+        sample = self.load_stem(stem, index)
+        if self.random_xflip and np.random.rand() < 0.5:
+            sample = xflip_sample(sample)
+        return sample
+
+    def load_stem(self, stem, index=0):
         size = self.out_image_size
         image = util.load_image(stem + "rgb.jpg", size)                # (3,H,W)
         mask = util.load_image(stem + "mask.png", size, mode="L",
@@ -66,8 +72,6 @@ class ImageDataset:
             "seq_idx": np.int32(index),
             "frame_idx": np.zeros((1,), np.int32),
         }
-        if self.random_xflip and np.random.rand() < 0.5:
-            sample = xflip_sample(sample)
         return sample
 
 

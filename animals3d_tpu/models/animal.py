@@ -181,22 +181,28 @@ class AnimalModel:
             self.phase_for_iter(0))
         k1, k2, k3 = jax.random.split(rng, 3)
         base_params = self.netBase.init(k1, grid, v_cap, f_cap,
-                                        method=BasePredictor.init_all)["params"]
+                                        method="init_all")["params"]
         prior_mesh, _ = self.netBase.apply({"params": base_params}, grid,
-                                           v_cap, f_cap)
+                                           v_cap, f_cap, method="init_all")
         images = jnp.zeros((1, self.num_frames, 3, self.in_image_size,
                             self.in_image_size))
         inst_params = self.netInstance.init(
             k2, images, prior_mesh, 0, k3,
-            method=InstancePredictor.init_all)["params"]
+            method="init_all")["params"]
         return {"netBase": base_params, "netInstance": inst_params}
 
     # -- loss weights -------------------------------------------------------
     def loss_weight(self, name: str, total_iter):
         return getattr(self.cfg_loss, f"{name}_weight")
 
-    def dino_logit_multiplier(self, total_iter):
-        return self.cfg_loss.logit_loss_dino_feat_im_loss_multiplier
+    def logit_weight(self, name: str, total_iter):
+        """Weight of each recon loss inside the logit-loss target
+        (`AnimalModel.py:446-460`); Fauna overrides with scheduled dicts and
+        mask multipliers (`Fauna.py:428-433`)."""
+        weight = self.loss_weight(name, total_iter)
+        if name == "dino_feat_im_loss":
+            weight = weight * self.cfg_loss.logit_loss_dino_feat_im_loss_multiplier
+        return weight
 
     # -- losses -------------------------------------------------------------
     def compute_reconstruction_losses(self, image_pred, image_gt, mask_pred,
@@ -249,9 +255,11 @@ class AnimalModel:
                              pose_raw=None, posed_bones=None,
                              class_vector=None, batch_size=1, num_frames=1):
         """(`AnimalModel.py:309-354`)"""
+        feats = None if class_vector is None else \
+            jax.lax.stop_gradient(class_vector)
         losses = dict(self.netBase.apply(
             {"params": params["netBase"]}, grid, sdf, prior_mesh, rng,
-            feats=class_vector, method=BasePredictor.sdf_reg_losses))
+            feats=feats, method="sdf_reg_losses"))
         if arti_params is not None:
             losses["arti_reg_loss"] = jnp.mean(arti_params ** 2)
         if deformation is not None:
@@ -318,12 +326,15 @@ class AnimalModel:
         if im_features is not None:
             material_fn = lambda tex_pos: self.netInstance.apply(
                 {"params": params["netInstance"]}, tex_pos, im_features,
-                method=InstancePredictor.sample_texture)
+                method="sample_texture")
+        if class_vector is not None and class_vector.shape[0] == 1 and N > 1:
+            class_vector = jnp.broadcast_to(class_vector,
+                                            (N, class_vector.shape[1]))
         dino_fn = None
         if use_dino:
             dino_fn = lambda tex_pos: self.netBase.apply(
                 {"params": params["netBase"]}, tex_pos, class_vector,
-                method=BasePredictor.dino_field)
+                method="dino_field")
         if background is None:
             background = self.background_image(N, h, w)
         return render_mesh(
@@ -396,9 +407,7 @@ class AnimalModel:
         num_hypos = self.netInstance.num_pose_hypos
         logit_target = jnp.zeros((B, F), images.dtype)
         for name, loss in losses.items():
-            weight = self.loss_weight(name, total_iter)
-            if name == "dino_feat_im_loss":
-                weight = weight * self.dino_logit_multiplier(total_iter)
+            weight = self.logit_weight(name, total_iter)
             # pad (B, F-1) losses (flow) to (B, F) for the logit target
             loss_bf = loss if loss.shape[1] == F else jnp.pad(
                 loss, ((0, 0), (0, F - loss.shape[1])))

@@ -25,6 +25,11 @@ class BasePredictor(nn.Module):
     cfg: BasePredictorConfig
     condition_choice: Optional[str] = None     # None | 'mod' (Fauna bank)
 
+    @property
+    def dino_extra_feat_dim(self) -> int:
+        """Conditioning dim of the DINO field (bank dim for Fauna)."""
+        return 0
+
     def setup(self):
         shape = self.cfg.cfg_shape
         scalar = 2 * np.pi / shape.spatial_scale * 0.9
@@ -49,6 +54,7 @@ class BasePredictor(nn.Module):
             min_max=(tuple(dino.minmax),) * dino.feature_dim,
             n_harmonic_functions=dino.embedder_freq, embedder_scalar=scalar,
             embed_concat_pts=dino.embed_concat_pts,
+            extra_feat_dim=self.dino_extra_feat_dim,
             symmetrize=dino.symmetrize, name="netDINO")
 
     # ---- SDF field --------------------------------------------------------

@@ -75,15 +75,21 @@ class ViTEncoder(nn.Module):
     def patch_size(self):
         return 8
 
-    @nn.compact
+    def setup(self):
+        heads = 6 if self.which_vit == "dino_vits8" else 12
+        self.ViT = DinoViT(patch_size=self.patch_size, dim=self.vit_feat_dim,
+                           num_heads=heads, name="ViT")
+        if self.final_layer_type == "conv":
+            self.final_layer_patch_out = Encoder32(self.cout,
+                                                   name="final_layer_patch_out")
+            self.final_layer_patch_key = Encoder32(self.cout,
+                                                   name="final_layer_patch_key")
+
     def __call__(self, images):
         # images: (N, 3, H, W) already rescaled to (-1, 1) by the caller
         N, _, H, W = images.shape
         ph, pw = H // self.patch_size, W // self.patch_size
-        heads = 6 if self.which_vit == "dino_vits8" else 12
-        tokens, key11 = DinoViT(patch_size=self.patch_size,
-                                dim=self.vit_feat_dim, num_heads=heads,
-                                name="ViT")(images)
+        tokens, key11 = self.ViT(images)
         if self.frozen:
             tokens = jax.lax.stop_gradient(tokens)
             key11 = jax.lax.stop_gradient(key11)
@@ -92,14 +98,20 @@ class ViTEncoder(nn.Module):
         # reference permute(0,1,3,2).reshape (`encoders.py:248-249`)
         pk = key11[:, :, 1:].transpose(0, 1, 3, 2).reshape(N, -1, ph, pw)
         if self.final_layer_type == "conv":
-            g_out = Encoder32(self.cout, name="final_layer_patch_out")(patch_out)
-            g_key = Encoder32(self.cout, name="final_layer_patch_key")(pk)
+            g_out = self.final_layer_patch_out(patch_out)
+            g_key = self.final_layer_patch_key(pk)
         elif self.final_layer_type == "none":
             g_out = tokens[:, 0]
             g_key = key11[:, :, 0].reshape(N, -1)
         else:
             raise NotImplementedError(self.final_layer_type)
         return g_out, g_key, patch_out, pk
+
+    def class_token(self, images):
+        """Frozen class token of the final norm (`BasePredictorBank.
+        forward_frozen_ViT`, `BasePredictorBank.py:106-131`)."""
+        tokens, _ = self.ViT(images)
+        return jax.lax.stop_gradient(tokens[:, 0])
 
 
 class InstancePredictor(nn.Module):
@@ -444,6 +456,11 @@ class InstancePredictor(nn.Module):
 
         return (shape, pose_raw, pose, mvp, w2c, campos, feat_out, feat_key,
                 deformation, arti_params, light_params, aux)
+
+    def frozen_vit_class_token(self, images):
+        """images (B, F, 3, H, W) in [0,1] → frozen DINO cls tokens (N, D)."""
+        imgs = images.reshape(-1, *images.shape[2:]) * 2 - 1
+        return self.netEncoder.class_token(imgs)
 
     # texture / light entry points for the model layer
     def sample_texture(self, tex_pos, feat):

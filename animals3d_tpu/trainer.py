@@ -68,7 +68,11 @@ def make_optimizer(model, params):
             keys = [getattr(p, "key", str(p)) for p in path]
             if any("ViT" == k for k in keys):
                 return "frozen"
-            return "base" if keys[0] == "netBase" else "instance"
+            if keys[0] == "netBase":
+                return "base"
+            if keys[0] == "netDisc":
+                return "disc"        # updated by the separate GAN step
+            return "instance"
         return jax.tree_util.tree_map_with_path(label, params)
 
     def adam(cfg):
@@ -98,6 +102,7 @@ class Trainer:
         self.mesh = meshlib.get_mesh(self.cfg.mesh_shape)
         self.metrics_trace = MetricsTrace()
         self._train_steps = {}       # phase.key -> compiled step
+        self._disc_step = None
         self._writer = None
 
     # ------------------------------------------------------------------
@@ -128,6 +133,23 @@ class Trainer:
 
             self._train_steps[key] = jax.jit(step, donate_argnums=(0, 1))
         return self._train_steps[key]
+
+    def _disc_step_for(self):
+        """Separate jitted GAN discriminator step (`Trainer.py:248-259`)."""
+        if self._disc_step is None:
+            model = self.model
+            disc_opt = optax.adam(model.cfg_optim_discriminator.lr)
+
+            def step(disc_params, disc_opt_state, record):
+                loss, grads = jax.value_and_grad(model.discriminator_loss)(
+                    disc_params, record)
+                updates, disc_opt_state = disc_opt.update(
+                    grads, disc_opt_state, disc_params)
+                disc_params = optax.apply_updates(disc_params, updates)
+                return disc_params, disc_opt_state, loss
+
+            self._disc_step = (jax.jit(step, donate_argnums=(0, 1)), disc_opt)
+        return self._disc_step
 
     # ------------------------------------------------------------------
     def train(self):
@@ -171,6 +193,18 @@ class Trainer:
             device_batch = meshlib.shard_batch(batch, self.mesh)
             params, opt_state, step_metrics = step_fn(
                 params, opt_state, device_batch, total_iter, step_rng)
+
+            # Fauna GAN: alternate discriminator update on recorded masks
+            disc_record = step_metrics.pop("_disc_record", None)
+            if disc_record is not None and phase.disc_on and \
+                    hasattr(self.model, "discriminator_loss"):
+                disc_step, disc_opt = self._disc_step_for()
+                if not hasattr(self, "_disc_opt_state"):
+                    self._disc_opt_state = disc_opt.init(params["netDisc"])
+                new_disc, self._disc_opt_state, disc_loss = disc_step(
+                    params["netDisc"], self._disc_opt_state, disc_record)
+                params = {**params, "netDisc": new_disc}
+                step_metrics["discriminator_loss"] = disc_loss
             total_iter += 1
 
             if total_iter % cfg.log_loss_freq == 0 or total_iter == 1:
