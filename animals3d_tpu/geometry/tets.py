@@ -37,14 +37,34 @@ _BASE_EDGES = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], np.int3
 _KUHN_PERMS = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass
 class TetGrid:
-    """Static tet-grid data (numpy, host-resident)."""
+    """Static tet-grid data (numpy, host-resident).
+
+    For procedural Kuhn lattices (`is_lattice=True`) the edge/tet-edge
+    tables are never needed on device (the lattice marching-tets path in
+    `ops.dmtet` derives everything from shifts); they are computed lazily
+    for tests/oracles only.
+    """
     verts: np.ndarray          # (N, 3) float32, in (-0.5, 0.5)^3 (unscaled)
     tets: np.ndarray           # (T, 4) int32
-    edges: np.ndarray          # (E, 2) int32, unique, sorted pairs, lex order
-    tet_edge_ids: np.ndarray   # (T, 6) int32 → rows of `edges`
     res: int
+    is_lattice: bool = False
+    _edges: np.ndarray = None
+    _tet_edge_ids: np.ndarray = None
+
+    @property
+    def edges(self) -> np.ndarray:
+        if self._edges is None:
+            self._edges, self._tet_edge_ids = _unique_edges(
+                self.tets, self.verts.shape[0])
+        return self._edges
+
+    @property
+    def tet_edge_ids(self) -> np.ndarray:
+        if self._tet_edge_ids is None:
+            _ = self.edges
+        return self._tet_edge_ids
 
     @property
     def num_verts(self) -> int:
@@ -110,44 +130,41 @@ def load_tet_grid(res: int, data_dir: str = "data/tets") -> TetGrid:
         data = np.load(npz_path)
         verts = np.asarray(data["vertices"], np.float32)
         tets = np.asarray(data["indices"], np.int32)
-    else:
-        verts, tets = kuhn_lattice(res)
-
-    cache_path = os.path.join(data_dir, f"{res}_tets_edges.npz")
-    if os.path.exists(cache_path):
-        cache = np.load(cache_path)
-        edges, tet_edge_ids = cache["edges"], cache["tet_edge_ids"]
-    else:
-        edges, tet_edge_ids = _unique_edges(tets, verts.shape[0])
-        try:
-            os.makedirs(data_dir, exist_ok=True)
-            np.savez_compressed(cache_path, edges=edges, tet_edge_ids=tet_edge_ids)
-        except OSError:
-            pass  # read-only data dir: recompute next time
-    return TetGrid(verts=verts, tets=tets, edges=edges,
-                   tet_edge_ids=tet_edge_ids, res=res)
+        return TetGrid(verts=verts, tets=tets, res=res, is_lattice=False)
+    # procedural lattice: no edge tables needed (shift-based kernel)
+    verts, tets = kuhn_lattice(res)
+    return TetGrid(verts=verts, tets=tets, res=res, is_lattice=True)
 
 
 class DeviceTetGrid:
     """Device-resident copy of a TetGrid, passed into jitted steps as a
-    pytree (no per-step host→device upload)."""
+    pytree (NOT closed over — the arrays would be embedded in the HLO and
+    overflow the compile-service payload limit). Lattice grids carry only
+    the vertex positions; the shift-based kernel needs no tables."""
 
     def __init__(self, grid: TetGrid):
         import jax.numpy as jnp
         self.verts = jnp.asarray(grid.verts)
-        self.tets = jnp.asarray(grid.tets)
-        self.edges = jnp.asarray(grid.edges)
-        self.tet_edge_ids = jnp.asarray(grid.tet_edge_ids)
         self.res = grid.res
+        self.is_lattice = grid.is_lattice
+        if grid.is_lattice:
+            self.tets = None
+            self.edges = None
+            self.tet_edge_ids = None
+        else:
+            self.tets = jnp.asarray(grid.tets)
+            self.edges = jnp.asarray(grid.edges)
+            self.tet_edge_ids = jnp.asarray(grid.tet_edge_ids)
 
     def tree_flatten(self):
-        return (self.verts, self.tets, self.edges, self.tet_edge_ids), self.res
+        return ((self.verts, self.tets, self.edges, self.tet_edge_ids),
+                (self.res, self.is_lattice))
 
     @classmethod
-    def tree_unflatten(cls, res, children):
+    def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         obj.verts, obj.tets, obj.edges, obj.tet_edge_ids = children
-        obj.res = res
+        obj.res, obj.is_lattice = aux
         return obj
 
 
@@ -163,7 +180,7 @@ def default_capacity(res: int) -> tuple[int, int]:
     Sized for shapes up to several times a sphere's area at the grid scale,
     then rounded up to MXU-friendly multiples of 256.
     """
-    v_cap = max(4096, 12 * res * res)
+    v_cap = max(4096, 6 * res * res)
     f_cap = 2 * v_cap
     rnd = lambda x: int(-(-x // 256) * 256)
     return rnd(v_cap), rnd(f_cap)

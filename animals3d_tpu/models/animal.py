@@ -345,8 +345,14 @@ class AnimalModel:
             dino_fn=dino_fn, num_frames=num_frames)
 
     # -- the training forward ----------------------------------------------
-    def forward(self, params, batch, total_iter, rng, phase: Phase):
-        """Pure loss computation. Returns (total_loss, (metrics, aux))."""
+    def forward(self, params, batch, total_iter, rng, phase: Phase,
+                grid: DeviceTetGrid = None):
+        """Pure loss computation. Returns (total_loss, (metrics, aux)).
+
+        `grid` must be passed as a jit *argument* (not closed over): the tet
+        arrays are tens/hundreds of MB and would otherwise be embedded in the
+        HLO as constants (which the axon remote-compile endpoint rejects).
+        """
         images = batch["images"]
         B, F = images.shape[:2]
         h = w = self.out_image_size
@@ -369,7 +375,9 @@ class AnimalModel:
                     resize_nchw(collapse_bf(flow_gt), (h, w)), B, F - 1)
 
         rngs = jax.random.split(rng, 4)
-        grid, v_cap, f_cap = self.grid_for_phase(phase)
+        _g, v_cap, f_cap = self.grid_for_phase(phase)
+        if grid is None:
+            grid = _g
         prior_mesh, sdf, class_vector, bank_aux = self.forward_base(
             params, grid, v_cap, f_cap, total_iter, rngs[0], phase, batch)
 

@@ -68,16 +68,46 @@ class ExtractedMesh(NamedTuple):
     num_faces: jax.Array   # () i32
 
 
+def first_geq(csum: jax.Array, targets: jax.Array) -> jax.Array:
+    """For each target t, the first index i with csum[i] >= t (csum
+    non-decreasing). Vectorized binary search: log2(N) rounds of gathers —
+    the TPU-friendly way to invert a prefix sum (no sort, no scatter)."""
+    n = csum.shape[0]
+    lo = jnp.zeros_like(targets)
+    hi = jnp.full_like(targets, n)
+    for _ in range(max(1, int(np.ceil(np.log2(max(n, 2)))))):
+        mid = (lo + hi) // 2
+        v = csum[jnp.clip(mid, 0, n - 1)]
+        go_right = v < targets
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
 def marching_tets(pos: jax.Array, sdf: jax.Array, grid: TetGrid,
                   v_cap: int, f_cap: int) -> ExtractedMesh:
     """Extract the sdf=0 isosurface of `sdf` sampled at `pos` over `grid`.
 
     pos: (N, 3) grid vertex positions (may be jittered/scaled).
     sdf: (N,) signed distance values (occupied = sdf > 0).
+
+    TPU note: compaction is *prefix-sum inversion* — for output slot j the
+    source edge/tet is `first_geq(cumsum(mask), j+1)` via batched binary
+    search. No large scatters (7 s/iter at grid 128) and no large sorts
+    (0.8 s/iter): only cheap cumsums over the edge/tet arrays plus
+    O(cap·log N) gathers. Slot order is exactly the reference's
+    `torch.unique`-based ordering (lexicographic crossing edges; 1-triangle
+    tets then 2-triangle pairs, ascending tet id). Interpolation happens
+    after compaction, so backward scatters touch only v_cap entries.
     """
+    if getattr(grid, "is_lattice", False):
+        return marching_tets_lattice(pos, sdf, grid.res, v_cap, f_cap)
+
     edges = jnp.asarray(grid.edges)               # (E, 2)
     tet_edge_ids = jnp.asarray(grid.tet_edge_ids)  # (T, 6)
     tets = jnp.asarray(grid.tets)                 # (T, 4)
+    E = edges.shape[0]
+    T = tets.shape[0]
 
     sdf = sdf.reshape(-1)
     occ = sdf > 0
@@ -85,63 +115,67 @@ def marching_tets(pos: jax.Array, sdf: jax.Array, grid: TetGrid,
     # ---- vertices: one per sign-crossing edge, lexicographic edge order ----
     e0, e1 = edges[:, 0], edges[:, 1]
     cross = occ[e0] != occ[e1]                     # (E,)
-    vslot = jnp.cumsum(cross.astype(jnp.int32)) - 1
-    num_verts = jnp.sum(cross.astype(jnp.int32))
+    csum_cross = jnp.cumsum(cross.astype(jnp.int32))
+    num_verts = csum_cross[-1]
+    vslot = csum_cross - 1                         # (E,) slot of each edge
 
-    s0, s1 = sdf[e0], sdf[e1]
+    # slot j ← the (j+1)-th crossing edge
+    src_e = first_geq(csum_cross, jnp.arange(1, v_cap + 1, dtype=jnp.int32))
+    v_valid = src_e < E
+    src_e = jnp.clip(src_e, 0, E - 1)
+    ce0 = e0[src_e]
+    ce1 = e1[src_e]
+    s0, s1 = sdf[ce0], sdf[ce1]
     denom = s0 - s1
     denom = jnp.where(jnp.abs(denom) > 1e-10, denom, 1e-10)
-    # linear zero crossing: v = (p1*s0 - p0*s1) / (s0 - s1)
-    w1 = s0 / denom
-    w0 = 1.0 - w1
-    vpos = pos[e0] * w0[:, None] + pos[e1] * w1[:, None]  # (E, 3)
+    w1 = s0 / denom                                # zero-crossing weight
+    verts = pos[ce0] * (1.0 - w1)[:, None] + pos[ce1] * w1[:, None]
+    verts = jnp.where(v_valid[:, None], verts, 0.0)
 
-    v_ok = cross & (vslot < v_cap)
-    scatter_idx = jnp.where(v_ok, vslot, v_cap)
-    verts = jnp.zeros((v_cap, 3), pos.dtype).at[scatter_idx].set(
-        jnp.where(v_ok[:, None], vpos, 0.0), mode="drop")
-    v_valid = jnp.zeros((v_cap,), bool).at[scatter_idx].set(v_ok, mode="drop")
-
-    # ---- faces: per-tet case lookup, reference emission order ----
+    # ---- faces: reference emission order via two prefix sums ----
     occ4 = occ[tets].astype(jnp.int32)             # (T, 4)
     case = occ4 @ jnp.asarray([1, 2, 4, 8], jnp.int32)
     ntri = jnp.asarray(NUM_TRI_TABLE)[case]        # (T,)
-    tri = jnp.asarray(TRI_TABLE)[case]             # (T, 6) local edge ids
+    mask1 = ntri == 1
+    mask2 = ntri == 2
+    csum1 = jnp.cumsum(mask1.astype(jnp.int32))
+    csum2 = jnp.cumsum(mask2.astype(jnp.int32))
+    n1 = csum1[-1]
+    num_faces = n1 + 2 * csum2[-1]
 
-    # local edge id → grid edge id → vertex slot
-    edge_ids = jnp.take_along_axis(tet_edge_ids, jnp.maximum(tri, 0), axis=1)
-    fverts = vslot[edge_ids]                       # (T, 6) vertex slots
-    fv_ok = (fverts < v_cap).reshape(-1, 2, 3).all(-1)  # (T, 2) capacity check
+    # face j: j < n1 → the (j+1)-th 1-tri tet's only triangle;
+    #         j ≥ n1 → pair k = j - n1: the (k//2+1)-th 2-tri tet, tri k%2
+    j = jnp.arange(f_cap, dtype=jnp.int32)
+    k = jnp.maximum(j - n1, 0)
+    tet_a = first_geq(csum1, j + 1)
+    tet_b = first_geq(csum2, k // 2 + 1)
+    in_a = j < n1
+    tet = jnp.where(in_a, tet_a, tet_b)
+    f_valid = jnp.where(in_a, tet_a < T, (tet_b < T) & (j < num_faces))
+    tet = jnp.clip(tet, 0, T - 1)
+    tri_sel = jnp.where(in_a, 0, k % 2)
 
-    mask1 = ntri == 1                               # one-triangle tets
-    mask2 = ntri == 2                               # two-triangle tets
-    n1 = jnp.sum(mask1.astype(jnp.int32))
-
-    slot_a = jnp.cumsum(mask1.astype(jnp.int32)) - 1                 # (T,)
-    slot_b = n1 + 2 * (jnp.cumsum(mask2.astype(jnp.int32)) - 1)      # (T,)
-    tet_idx = jnp.arange(tets.shape[0], dtype=jnp.int32)
-
-    # candidate faces: [group-A tri0] and [group-B tri0, tri1]
-    cand_faces = jnp.concatenate([fverts[:, :3],
-                                  fverts[:, :3], fverts[:, 3:]], 0)   # (3T, 3)
-    cand_slot = jnp.concatenate([slot_a, slot_b, slot_b + 1], 0)
-    cand_ok = jnp.concatenate([mask1 & fv_ok[:, 0],
-                               mask2 & fv_ok[:, 0],
-                               mask2 & fv_ok[:, 1]], 0)
-    cand_gidx = jnp.concatenate([tet_idx * 2, tet_idx * 2, tet_idx * 2 + 1], 0)
-
-    num_faces = n1 + 2 * jnp.sum(mask2.astype(jnp.int32))
-    f_ok = cand_ok & (cand_slot < f_cap)
-    fidx = jnp.where(f_ok, cand_slot, f_cap)
-    faces = jnp.zeros((f_cap, 3), jnp.int32).at[fidx].set(
-        jnp.where(f_ok[:, None], cand_faces, 0), mode="drop")
-    f_valid = jnp.zeros((f_cap,), bool).at[fidx].set(f_ok, mode="drop")
-    face_gidx = jnp.zeros((f_cap,), jnp.int32).at[fidx].set(
-        jnp.where(f_ok, cand_gidx, 0), mode="drop")
+    tri_rows = jnp.asarray(TRI_TABLE)[case[tet]]           # (f_cap, 6)
+    tri_local = jnp.take_along_axis(
+        tri_rows.reshape(f_cap, 2, 3), tri_sel[:, None, None]
+        .repeat(3, -1), 1)[:, 0]                           # (f_cap, 3)
+    edge_ids = jnp.take_along_axis(tet_edge_ids[tet],
+                                   jnp.maximum(tri_local, 0), axis=1)
+    faces = vslot[edge_ids]                                # (f_cap, 3)
+    f_valid = f_valid & (faces < v_cap).all(-1) & (tri_local >= 0).all(-1)
+    faces = jnp.where(f_valid[:, None], faces, 0)
+    face_gidx = jnp.where(f_valid, tet.astype(jnp.int32) * 2 + tri_sel, 0)
 
     return ExtractedMesh(verts=verts, v_valid=v_valid, faces=faces,
                          f_valid=f_valid, face_gidx=face_gidx,
                          num_verts=num_verts, num_faces=num_faces)
+
+
+def sdf_bce_for_grid(sdf: jax.Array, grid) -> jax.Array:
+    """Dispatching BCE edge-consistency regularizer."""
+    if getattr(grid, "is_lattice", False):
+        return sdf_bce_reg_loss_lattice(sdf, grid.res)
+    return sdf_bce_reg_loss(sdf, jnp.asarray(grid.edges))
 
 
 def sdf_bce_reg_loss(sdf: jax.Array, edges: jax.Array) -> jax.Array:
@@ -163,6 +197,194 @@ def sdf_bce_reg_loss(sdf: jax.Array, edges: jax.Array) -> jax.Array:
         bce_logits(s1, (s0 > 0).astype(sdf.dtype))
     denom = jnp.maximum(jnp.sum(crossing), 1)
     return jnp.sum(jnp.where(crossing, loss, 0.0)) / denom
+
+
+# ---------------------------------------------------------------------------
+# Regular Kuhn-lattice fast path: zero large gathers.
+#
+# On TPU, random gathers over the multi-million-entry edge/tet tables cost
+# hundreds of ms (measured: occ[e0] 240 ms, occ[tets] 455 ms at grid 128),
+# while elementwise ops, cumsums and small-table lookups are ~ms. A regular
+# lattice makes every "gather" a *shift*: edge crossings are occupancy XORs
+# with 7 static offsets, tet corner occupancies are 8 array slices, and edge
+# ids are arithmetic. Only compacted (capacity-sized) gathers remain.
+# Measured: 7 s (scatter) → 0.83 s (sort) → ~20 ms (lattice) per extraction.
+#
+# Vertex/face ordering is IDENTICAL to the generic path (and hence the
+# reference): edge id = vertex*7 + direction_rank enumerates sorted (v0, v1)
+# pairs lexicographically because all 7 direction deltas are positive and
+# ranked ascending; out-of-bounds pairs never cross so they never perturb
+# the compacted order.
+# ---------------------------------------------------------------------------
+
+# the 7 Kuhn edge directions, ascending by linear delta (z, y, yz, x, xz,
+# xy, xyz for (i*n + j)*n + k vertex indexing)
+_LATTICE_DIRS = np.array([
+    [0, 0, 1], [0, 1, 0], [0, 1, 1], [1, 0, 0], [1, 0, 1], [1, 1, 0],
+    [1, 1, 1]], np.int32)
+
+_KUHN_PERMS = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1),
+               (2, 1, 0)]
+
+
+def _lattice_tables():
+    """Per-perm corner offsets and local-edge → (base corner, dir rank)."""
+    unit = np.eye(3, dtype=np.int32)
+    corners = []          # (6, 4, 3)
+    edge_map = []         # (6, 6, 4): base corner xyz + dir rank
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    for perm in _KUHN_PERMS:
+        cs = np.stack([np.zeros(3, np.int32), unit[perm[0]],
+                       unit[perm[0]] + unit[perm[1]],
+                       np.ones(3, np.int32)])
+        corners.append(cs)
+        rows = []
+        for a, b in pairs:
+            d = cs[b] - cs[a]
+            rank = int(np.where((_LATTICE_DIRS == d).all(1))[0][0])
+            rows.append([*cs[a], rank])
+        edge_map.append(rows)
+    return np.stack(corners), np.asarray(edge_map, np.int32)
+
+
+_LATTICE_CORNERS, _LATTICE_EDGE_MAP = _lattice_tables()
+
+
+def lattice_edge_crossings(occ3: jax.Array) -> jax.Array:
+    """(n,n,n) occupancy → (n³·7,) crossing flags in edge-id order
+    (edge id = vertex_id * 7 + dir_rank); out-of-bounds edges are False."""
+    n = occ3.shape[0]
+    per_dir = []
+    for (dx, dy, dz) in _LATTICE_DIRS:
+        a = occ3[:n - dx, :n - dy, :n - dz]
+        b = occ3[dx:, dy:, dz:]
+        cr = jnp.pad(a != b, ((0, dx), (0, dy), (0, dz)))
+        per_dir.append(cr)
+    return jnp.stack(per_dir, -1).reshape(-1)
+
+
+def lattice_tet_cases(occ3: jax.Array) -> jax.Array:
+    """(n,n,n) occupancy → (m³·6,) marching-tets case ids in tet order
+    (cell-major, Kuhn perm minor) for the procedural lattice."""
+    n = occ3.shape[0]
+    m = n - 1
+
+    def corner(c):
+        return occ3[c[0]:c[0] + m, c[1]:c[1] + m, c[2]:c[2] + m] \
+            .astype(jnp.int32)
+
+    cases = []
+    for p in range(6):
+        cs = _LATTICE_CORNERS[p]
+        case = corner(cs[0]) + 2 * corner(cs[1]) + 4 * corner(cs[2]) \
+            + 8 * corner(cs[3])
+        cases.append(case)
+    return jnp.stack(cases, -1).reshape(-1)
+
+
+def marching_tets_lattice(pos: jax.Array, sdf: jax.Array, res: int,
+                          v_cap: int, f_cap: int) -> ExtractedMesh:
+    """Marching tets on the procedural Kuhn lattice (see block comment).
+
+    pos: (n³, 3) lattice vertex positions; sdf: (n³,); n = res + 1.
+    Output identical to `marching_tets` on the same lattice.
+    """
+    n = res + 1
+    occ3 = (sdf > 0).reshape(n, n, n)
+    deltas = jnp.asarray([1, n, n + 1, n * n, n * n + 1, n * n + n,
+                          n * n + n + 1], jnp.int32)
+
+    # ---- vertices ----
+    cross = lattice_edge_crossings(occ3)                     # (n³·7,)
+    csum_cross = jnp.cumsum(cross.astype(jnp.int32))
+    num_verts = csum_cross[-1]
+
+    src = first_geq(csum_cross, jnp.arange(1, v_cap + 1, dtype=jnp.int32))
+    v_valid = src < cross.shape[0]
+    src = jnp.clip(src, 0, cross.shape[0] - 1)
+    ce0 = src // 7
+    ce1 = ce0 + deltas[src % 7]
+    ce1 = jnp.clip(ce1, 0, sdf.shape[0] - 1)
+    s0, s1 = sdf[ce0], sdf[ce1]
+    denom = s0 - s1
+    denom = jnp.where(jnp.abs(denom) > 1e-10, denom, 1e-10)
+    w1 = s0 / denom
+    verts = pos[ce0] * (1.0 - w1)[:, None] + pos[ce1] * w1[:, None]
+    verts = jnp.where(v_valid[:, None], verts, 0.0)
+
+    # ---- faces ----
+    case = lattice_tet_cases(occ3)                           # (m³·6,)
+    T = case.shape[0]
+    m = n - 1
+    ntri = jnp.asarray(NUM_TRI_TABLE)[case]
+    mask1 = ntri == 1
+    mask2 = ntri == 2
+    csum1 = jnp.cumsum(mask1.astype(jnp.int32))
+    csum2 = jnp.cumsum(mask2.astype(jnp.int32))
+    n1 = csum1[-1]
+    num_faces = n1 + 2 * csum2[-1]
+
+    j = jnp.arange(f_cap, dtype=jnp.int32)
+    k = jnp.maximum(j - n1, 0)
+    tet_a = first_geq(csum1, j + 1)
+    tet_b = first_geq(csum2, k // 2 + 1)
+    in_a = j < n1
+    tet = jnp.where(in_a, tet_a, tet_b)
+    f_valid = jnp.where(in_a, tet_a < T, (tet_b < T) & (j < num_faces))
+    tet = jnp.clip(tet, 0, T - 1)
+    tri_sel = jnp.where(in_a, 0, k % 2)
+
+    cell = tet // 6
+    perm = tet % 6
+    ci = cell // (m * m)
+    cj = (cell // m) % m
+    ck = cell % m
+
+    tri_rows = jnp.asarray(TRI_TABLE)[case[tet]]             # (f_cap, 6)
+    tri_local = jnp.take_along_axis(
+        tri_rows.reshape(f_cap, 2, 3), tri_sel[:, None, None]
+        .repeat(3, -1), 1)[:, 0]                             # (f_cap, 3)
+    tri_ok = (tri_local >= 0).all(-1)
+    tri_local = jnp.maximum(tri_local, 0)
+
+    # local edge → (base corner, dir rank) → global edge id → vertex slot
+    emap = jnp.asarray(_LATTICE_EDGE_MAP)                    # (6, 6, 4)
+    entries = emap[perm[:, None], tri_local]                 # (f_cap, 3, 4)
+    vx = ci[:, None] + entries[..., 0]
+    vy = cj[:, None] + entries[..., 1]
+    vz = ck[:, None] + entries[..., 2]
+    e_vid = (vx * n + vy) * n + vz
+    edge_id = e_vid * 7 + entries[..., 3]
+    faces = csum_cross[edge_id] - 1                          # vertex slots
+    f_valid = f_valid & tri_ok & (faces < v_cap).all(-1) & (faces >= 0).all(-1)
+    faces = jnp.where(f_valid[:, None], faces, 0)
+    face_gidx = jnp.where(f_valid, tet.astype(jnp.int32) * 2 + tri_sel, 0)
+
+    return ExtractedMesh(verts=verts, v_valid=v_valid, faces=faces,
+                         f_valid=f_valid, face_gidx=face_gidx,
+                         num_verts=num_verts, num_faces=num_faces)
+
+
+def sdf_bce_reg_loss_lattice(sdf: jax.Array, res: int) -> jax.Array:
+    """`sdf_bce_reg_loss` for the procedural lattice — shift-based edge
+    endpoint pairing instead of 2×15M gathers."""
+    n = res + 1
+    s3 = sdf.reshape(n, n, n)
+    total = 0.0
+    count = 0.0
+    for (dx, dy, dz) in _LATTICE_DIRS:
+        a = s3[:n - dx, :n - dy, :n - dz]
+        b = s3[dx:, dy:, dz:]
+        crossing = jnp.sign(a) != jnp.sign(b)
+
+        def bce(logit, target):
+            return jnp.maximum(logit, 0) - logit * target + \
+                jnp.log1p(jnp.exp(-jnp.abs(logit)))
+
+        loss = bce(a, (b > 0).astype(sdf.dtype)) + bce(b, (a > 0).astype(sdf.dtype))
+        total = total + jnp.sum(jnp.where(crossing, loss, 0.0))
+        count = count + jnp.sum(crossing)
+    return total / jnp.maximum(count, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -126,7 +126,7 @@ class BasePredictor(nn.Module):
         """BCE edge consistency + eikonal penalty on 5000 random + 5000
         near-surface points (`dmtet.py:256-281`, `get_sdf_reg_loss`)."""
         shape = self.cfg.cfg_shape
-        bce = dmtet.sdf_bce_reg_loss(sdf, grid.edges)
+        bce = dmtet.sdf_bce_for_grid(sdf, grid)
 
         k1, k2, k3 = jax.random.split(rng, 3)
         n = 5000

@@ -123,15 +123,18 @@ class Trainer:
         if key not in self._train_steps:
             model = self.model
 
-            def step(params, opt_state, batch, total_iter, rng):
+            def step(params, opt_state, batch, total_iter, rng, grid):
                 (loss, (metrics, _aux)), grads = jax.value_and_grad(
                     model.forward, has_aux=True)(params, batch, total_iter,
-                                                 rng, phase)
+                                                 rng, phase, grid)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return params, opt_state, metrics
 
-            self._train_steps[key] = jax.jit(step, donate_argnums=(0, 1))
+            # static phase via closure; the tet grid is an argument so its
+            # arrays are jit parameters, not embedded HLO constants
+            self._train_steps[key] = jax.jit(step, donate_argnums=(0, 1),
+                                             static_argnums=())
         return self._train_steps[key]
 
     def _disc_step_for(self):
@@ -189,10 +192,11 @@ class Trainer:
 
             phase = self.model.phase_for_iter(total_iter)
             step_fn = self._train_step_for(phase, optimizer)
+            grid, _, _ = self.model.grid_for_phase(phase)
             rng, step_rng = jax.random.split(rng)
             device_batch = meshlib.shard_batch(batch, self.mesh)
             params, opt_state, step_metrics = step_fn(
-                params, opt_state, device_batch, total_iter, step_rng)
+                params, opt_state, device_batch, total_iter, step_rng, grid)
 
             # Fauna GAN: alternate discriminator update on recorded masks
             disc_record = step_metrics.pop("_disc_record", None)
@@ -265,8 +269,9 @@ class Trainer:
         for batch in test_loader:
             device_batch = meshlib.shard_batch(batch, self.mesh)
             rng = jax.random.PRNGKey(cfg.seed + count)
+            grid, _, _ = self.model.grid_for_phase(phase)
             _, (metrics, aux) = self.model.forward(
-                params, device_batch, max(total_iter, 1) - 1, rng, phase)
+                params, device_batch, max(total_iter, 1) - 1, rng, phase, grid)
             results_io.save_results(self.model, batch, aux, result_dir,
                                     start_index=count)
             count += batch["images"].shape[0]

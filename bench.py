@@ -69,7 +69,7 @@ def main():
     # ---- inference path: recon + input-view render ----
     from animals3d_tpu.predictors import BasePredictor, InstancePredictor
 
-    def recon(params, images, rng):
+    def recon(params, images, rng, grid):
         prior_mesh, _sdf = model.netBase.apply(
             {"params": params["netBase"]}, grid, v_cap, f_cap, 50000, None)
         out = model.netInstance.apply(
@@ -85,14 +85,14 @@ def main():
 
     recon_jit = jax.jit(recon)
     t0 = time.time()
-    out = jax.block_until_ready(recon_jit(params, images, rng))
+    out = jax.block_until_ready(recon_jit(params, images, rng, grid))
     compile_s = time.time() - t0
     for _ in range(warmup):
-        out = recon_jit(params, images, rng)
+        out = recon_jit(params, images, rng, grid)
     jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(iters):
-        out = recon_jit(params, images, rng)
+        out = recon_jit(params, images, rng, grid)
     jax.block_until_ready(out)
     dt = time.time() - t0
     imgs_per_sec = batch * F * iters / dt

@@ -100,3 +100,33 @@ def test_sdf_bce_reg_loss():
     sdf = jnp.asarray(sphere_sdf(grid.verts).astype(np.float32))
     loss = dmtet.sdf_bce_reg_loss(sdf, jnp.asarray(grid.edges))
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_lattice_path_matches_generic_path():
+    """The shift-based lattice kernel must be bit-identical to the generic
+    (edge-table) kernel on the same Kuhn grid."""
+    grid = tetlib.load_tet_grid(8, data_dir="/tmp/tets_cache")
+    assert grid.is_lattice
+    sdf = jnp.asarray(sphere_sdf(grid.verts, r=0.31).astype(np.float32))
+    pos = jnp.asarray(grid.verts)
+    lat = dmtet.marching_tets_lattice(pos, sdf, grid.res, 2048, 4096)
+    # force the generic path by faking a non-lattice grid
+    import dataclasses as dc
+    gen_grid = dc.replace(grid, is_lattice=False)
+    gen = dmtet.marching_tets(pos, sdf, gen_grid, 2048, 4096)
+    np.testing.assert_array_equal(np.asarray(lat.v_valid), np.asarray(gen.v_valid))
+    np.testing.assert_allclose(np.asarray(lat.verts), np.asarray(gen.verts),
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(lat.faces), np.asarray(gen.faces))
+    np.testing.assert_array_equal(np.asarray(lat.f_valid), np.asarray(gen.f_valid))
+    np.testing.assert_array_equal(np.asarray(lat.face_gidx), np.asarray(gen.face_gidx))
+    assert int(lat.num_verts) == int(gen.num_verts)
+    assert int(lat.num_faces) == int(gen.num_faces)
+
+
+def test_lattice_bce_matches_generic():
+    grid = tetlib.load_tet_grid(6, data_dir="/tmp/tets_cache")
+    sdf = jnp.asarray(sphere_sdf(grid.verts).astype(np.float32))
+    lat = dmtet.sdf_bce_reg_loss_lattice(sdf, grid.res)
+    gen = dmtet.sdf_bce_reg_loss(sdf, jnp.asarray(grid.edges))
+    np.testing.assert_allclose(float(lat), float(gen), rtol=1e-5)
