@@ -187,7 +187,7 @@ class AnimalModel:
         images = jnp.zeros((1, self.num_frames, 3, self.in_image_size,
                             self.in_image_size))
         inst_params = self.netInstance.init(
-            k2, images, prior_mesh, 0, k3,
+            {"params": k2, "vae": k3}, images, prior_mesh, 0, k3,
             method="init_all")["params"]
         return {"netBase": base_params, "netInstance": inst_params}
 
@@ -374,7 +374,7 @@ class AnimalModel:
                 flow_gt = expand_bf(
                     resize_nchw(collapse_bf(flow_gt), (h, w)), B, F - 1)
 
-        rngs = jax.random.split(rng, 4)
+        rngs = jax.random.split(rng, 5)
         _g, v_cap, f_cap = self.grid_for_phase(phase)
         if grid is None:
             grid = _g
@@ -383,54 +383,65 @@ class AnimalModel:
 
         (shape, pose_raw, pose, mvp, w2c, campos, im_features, feat_key,
          deformation, arti_params, light_params, fw_aux) = \
-            self.netInstance.apply(
-                {"params": params["netInstance"]}, images, prior_mesh,
-                total_iter, rngs[1], phase)
+            self.instance_forward(params, images, prior_mesh, total_iter,
+                                  rngs, phase)
 
         final_losses = {}
         metrics = {}
-        render_flow = self.cfg_render.render_flow and F > 1
-        render_modes = ["shaded", "dino_pred"] + (["flow"] if render_flow else [])
-        renders = self.render(
-            params, render_modes, shape, mvp, w2c, campos, (h, w),
-            im_features=im_features, light_params=light_params,
-            prior_mesh=prior_mesh, use_dino=True, num_frames=F,
-            class_vector=class_vector)
-        shaded = expand_bf(renders["shaded"], B, F)
-        dino_pred = expand_bf(renders["dino_pred"], B, F)
-        flow_pred = expand_bf(renders["flow"], B, F)[:, :-1] \
-            if render_flow else None
-        image_pred = shaded[:, :, :3]
-        mask_pred = shaded[:, :, 3]
+        mask_pred = image_pred = None
+        do_render = self.cfg_model.enable_render or not phase.is_training
+        if do_render:
+            # B may change at generation time (1 sequence × F frames)
+            N_out = mvp.shape[0]
+            if N_out != B * F:
+                B = N_out // F
+            render_flow = self.cfg_render.render_flow and F > 1
+            render_modes = ["shaded", "dino_pred"] + \
+                (["flow"] if render_flow else [])
+            r_mvp, r_w2c, r_campos = self.render_cameras(mvp, w2c, campos)
+            renders = self.render(
+                params, render_modes, shape, r_mvp, r_w2c, r_campos, (h, w),
+                im_features=im_features, light_params=light_params,
+                prior_mesh=prior_mesh, use_dino=True, num_frames=F,
+                class_vector=class_vector)
+            shaded = expand_bf(renders["shaded"], B, F)
+            dino_pred = expand_bf(renders["dino_pred"], B, F)
+            flow_pred = expand_bf(renders["flow"], B, F)[:, :-1] \
+                if render_flow else None
+            image_pred = shaded[:, :, :3]
+            mask_pred = shaded[:, :, 3]
 
-        losses = self.compute_reconstruction_losses(
-            image_pred, image_gt, mask_pred, mask_gt, mask_dt, mask_valid,
-            flow_pred, flow_gt, dino_gt, dino_pred,
-            background_mode=self.cfg_render.background_mode)
+        if do_render and self.use_recon_losses(phase) and \
+                image_pred.shape[:2] == image_gt.shape[:2]:
+            losses = self.compute_reconstruction_losses(
+                image_pred, image_gt, mask_pred, mask_gt, mask_dt, mask_valid,
+                flow_pred, flow_gt, dino_gt, dino_pred,
+                background_mode=self.cfg_render.background_mode)
 
-        # hypothesis-probability weighting + logit loss (`:446-472`)
-        rot_logit = fw_aux["rot_logit"]
-        rot_prob = jax.lax.stop_gradient(fw_aux["rot_prob"])
-        rot_idx = fw_aux["rot_idx"]
-        num_hypos = self.netInstance.num_pose_hypos
-        logit_target = jnp.zeros((B, F), images.dtype)
-        for name, loss in losses.items():
-            weight = self.logit_weight(name, total_iter)
-            # pad (B, F-1) losses (flow) to (B, F) for the logit target
-            loss_bf = loss if loss.shape[1] == F else jnp.pad(
-                loss, ((0, 0), (0, F - loss.shape[1])))
-            logit_target = logit_target + loss_bf * weight
+            # hypothesis-probability weighting + logit loss (`:446-472`)
+            rot_logit = fw_aux["rot_logit"]
+            rot_prob = jax.lax.stop_gradient(fw_aux["rot_prob"])
+            rot_idx = fw_aux["rot_idx"]
+            num_hypos = self.netInstance.num_pose_hypos
+            logit_target = jnp.zeros((B, F), images.dtype)
+            for name, loss in losses.items():
+                weight = self.logit_weight(name, total_iter)
+                # pad (B, F-1) losses (flow) to (B, F) for the logit target
+                loss_bf = loss if loss.shape[1] == F else jnp.pad(
+                    loss, ((0, 0), (0, F - loss.shape[1])))
+                logit_target = logit_target + loss_bf * weight
 
-            prob = rot_prob.reshape(B, F)[:, :loss.shape[1]]
-            loss = loss * prob * num_hypos
-            if name == "flow_loss" and F > 1:
-                ri = rot_idx.reshape(B, F)
-                same = (ri[:, 1:] == ri[:, :-1]).astype(loss.dtype)
-                loss = loss * same
-            final_losses[name] = loss.mean()
-        logit_target = jax.lax.stop_gradient(collapse_bf(logit_target))
-        final_losses["logit_loss"] = jnp.mean((rot_logit - logit_target) ** 2)
-        metrics["logit_loss_target"] = logit_target.mean()
+                prob = rot_prob.reshape(B, F)[:, :loss.shape[1]]
+                loss = loss * prob * num_hypos
+                if name == "flow_loss" and F > 1:
+                    ri = rot_idx.reshape(B, F)
+                    same = (ri[:, 1:] == ri[:, :-1]).astype(loss.dtype)
+                    loss = loss * same
+                final_losses[name] = loss.mean()
+            logit_target = jax.lax.stop_gradient(collapse_bf(logit_target))
+            final_losses["logit_loss"] = jnp.mean(
+                (rot_logit - logit_target) ** 2)
+            metrics["logit_loss_target"] = logit_target.mean()
 
         regs = self.compute_regularizers(
             params, grid, sdf, prior_mesh, rngs[2],
@@ -467,6 +478,12 @@ class AnimalModel:
         return total, (metrics, aux)
 
     # -- hooks for subclasses ------------------------------------------------
+    def instance_forward(self, params, images, prior_mesh, total_iter, rngs,
+                         phase: Phase):
+        return self.netInstance.apply(
+            {"params": params["netInstance"]}, images, prior_mesh,
+            total_iter, rngs[1], phase, rngs={"vae": rngs[4]})
+
     def forward_base(self, params, grid, v_cap, f_cap, total_iter, rng,
                      phase: Phase, batch):
         """netBase forward; Fauna overrides to thread the memory bank."""
@@ -479,6 +496,16 @@ class AnimalModel:
     def extra_losses(self, params, batch, total_iter, final_losses, metrics,
                      ctx):
         return 0.0
+
+    def use_recon_losses(self, phase: Phase) -> bool:
+        return True
+
+    def render_cameras(self, mvp, w2c, campos):
+        return mvp, w2c, campos
+
+    def frozen_param(self, keys) -> bool:
+        """Optimizer masking hook; True → parameter never updated."""
+        return False
 
 
 def _in_range_traced(total_iter, rng_pair):

@@ -68,6 +68,8 @@ def make_optimizer(model, params):
             keys = [getattr(p, "key", str(p)) for p in path]
             if any("ViT" == k for k in keys):
                 return "frozen"
+            if getattr(model, "frozen_param", None) and model.frozen_param(keys):
+                return "frozen"      # stage-dependent masking (Ponymation)
             if keys[0] == "netBase":
                 return "base"
             if keys[0] == "netDisc":
