@@ -24,7 +24,7 @@ class AttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         B, N, C = h.shape
         hd = C // self.num_heads
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(h)
@@ -33,7 +33,7 @@ class AttnBlock(nn.Module):
         attn = jax.nn.softmax((q @ k.transpose(0, 1, 3, 2)) * hd ** -0.5, -1)
         a = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, C)
         x = x + nn.Dense(C, name="proj")(a)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h = nn.Dense(int(C * self.mlp_ratio), name="fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(C, name="fc2")(h)
@@ -68,7 +68,7 @@ class ArticulationNetwork(nn.Module):
         if self.net_type == "attention":
             h = nn.Dense(self.nf, name="in_linear")(x)
             h = jax.nn.gelu(h, approximate=False)
-            h = nn.LayerNorm(epsilon=1e-6, name="in_norm")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name="in_norm")(h)
             for i in range(self.num_layers):
                 h = AttnBlock(self.nf, name=f"block_{i}")(h)
             out = nn.Dense(3, name="out_linear")(h)

@@ -57,12 +57,12 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.LayerNorm(name="norm1")(x + MHA(self.dim, self.heads,
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + MHA(self.dim, self.heads,
                                                name="self_attn")(x, x))
         h = nn.Dense(self.ff, name="linear1")(x)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, name="linear2")(h)
-        return nn.LayerNorm(name="norm2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
 
 
 class DecoderLayer(nn.Module):
@@ -73,14 +73,14 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory):
-        tgt = nn.LayerNorm(name="norm1")(
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(
             tgt + MHA(self.dim, self.heads, name="self_attn")(tgt, tgt))
-        tgt = nn.LayerNorm(name="norm2")(
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(
             tgt + MHA(self.dim, self.heads, name="cross_attn")(tgt, memory))
         h = nn.Dense(self.ff, name="linear1")(tgt)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, name="linear2")(h)
-        return nn.LayerNorm(name="norm3")(tgt + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt + h)
 
 
 class VAEEncoder(nn.Module):
@@ -100,6 +100,9 @@ class VAEEncoder(nn.Module):
 
         # bone transformer: tokens = [query, bones], per (B·F)
         xb = x.transpose(1, 0, 3, 2).reshape(J, B * F, D)   # (J, B·F, D)
+        # second projection inside the encoder (reference `skelEmbedding`,
+        # MotionVAE.py:66 — applied on top of ArticulationVAE.in_layer)
+        xb = nn.Dense(self.latent_dim, name="skelEmbedding")(xb)
         xb = jnp.concatenate(
             [jnp.broadcast_to(bone_q, (1, B * F, self.latent_dim)), xb], 0)
         for i in range(self.num_layers):
@@ -160,7 +163,7 @@ class ArticulationVAE(nn.Module):
         nfeats = self.feat_dim + self.pos_dim * (self.n_harmonic_functions * 2 + 1)
         self._nfeats = nfeats
         self.in_dense = nn.Dense(self.latent_dim, name="in_dense")
-        self.in_norm = nn.LayerNorm(name="in_norm")
+        self.in_norm = nn.LayerNorm(epsilon=1e-5, name="in_norm")
         self.encoder = VAEEncoder(self.latent_dim, self.transformer_layer_num,
                                   name="encoder")
         self.decoder = VAEDecoder(self.njoints, 3, self.latent_dim,
