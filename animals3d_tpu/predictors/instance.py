@@ -457,6 +457,32 @@ class InstancePredictor(nn.Module):
         return (shape, pose_raw, pose, mvp, w2c, campos, feat_out, feat_key,
                 deformation, arti_params, light_params, aux)
 
+    def articulate_with_angles(self, prior_mesh: Mesh, angles):
+        """Re-skin the prior with explicit articulation angles (B, F, K, 3) —
+        the visualization animation/canonicalization path
+        (`visualization/visualize_results.py:409-595`)."""
+        a = self.cfg.cfg_articulation
+        B, F = angles.shape[:2]
+        verts_bf = prior_mesh.v_pos[:1][None]
+        bones, structure = sk.estimate_bones(
+            verts_bf, prior_mesh.v_valid, n_body_bones=a.num_body_bones,
+            n_legs=a.num_legs, n_leg_bones=a.num_leg_bones,
+            body_bones_mode=a.body_bones_mode, attach_legs_to_body=True,
+            bone_y_threshold=a.bone_y_threshold,
+            legs_to_body_joint_indices=a.legs_to_body_joint_indices)
+        verts_rep = jnp.broadcast_to(verts_bf, (B, F, *verts_bf.shape[2:]))
+        posed, _ = sk.skinning(verts_rep, bones, structure, angles,
+                               temperature=a.skinning_temperature,
+                               v_valid=prior_mesh.v_valid)
+        N = B * F
+        posed = posed.reshape(N, *posed.shape[2:])
+        v_tex = jnp.broadcast_to(prior_mesh.v_tex[:1],
+                                 (N, *prior_mesh.v_tex.shape[1:]))
+        return make_mesh(posed, prior_mesh.t_pos_idx, prior_mesh.v_valid,
+                         prior_mesh.f_valid, prior_mesh.num_verts,
+                         prior_mesh.num_faces, v_tex=v_tex,
+                         face_gidx=prior_mesh.face_gidx)
+
     def frozen_vit_class_token(self, images):
         """images (B, F, 3, H, W) in [0,1] → frozen DINO cls tokens (N, D)."""
         imgs = images.reshape(-1, *images.shape[2:]) * 2 - 1
