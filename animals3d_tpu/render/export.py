@@ -1,0 +1,143 @@
+"""Mesh + material export: OBJ/MTL with a baked texture atlas.
+
+Reference: `obj.py:128-175` (write_obj), `material.py:106-141` (save_mtl),
+`render.py:342-360` (render_uv — bakes the texture MLP to an atlas by
+rasterizing in UV space). TPU redesign: no UV-space rasterization needed —
+each valid face gets its own square cell in the atlas, and every atlas pixel
+maps *analytically* (cell → face → barycentric → canonical position) onto
+the surface, so baking is one big gather + texture-MLP evaluation. The
+reference's tiled per-tet atlas (`map_uv`, `dmtet.py:69-98`) assigns cells
+by global tet id; per-face cells are equivalent for export and stay dense
+under capacity padding.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def face_cell_uvs(num_faces: int, pad: float = 0.45):
+    """Cell-corner UVs per face: cell grid N×N, face f at (f%N, f//N).
+    Returns (uvs (F, 3, 2) in [0,1], N)."""
+    N = int(np.ceil(np.sqrt(max(num_faces, 1))))
+    f = np.arange(num_faces)
+    x = (f % N).astype(np.float32)
+    y = (f // N).astype(np.float32)
+    # triangle corners inside the cell (lower-left half, with padding)
+    c0 = np.stack([x + 0.05, y + 0.05], -1)
+    c1 = np.stack([x + 0.05 + 2 * pad, y + 0.05], -1)
+    c2 = np.stack([x + 0.05, y + 0.05 + 2 * pad], -1)
+    uvs = np.stack([c0, c1, c2], 1) / N
+    return uvs.astype(np.float32), N
+
+
+def bake_texture_atlas(mesh, texture_fn, atlas_res: int = 1024):
+    """Bake `texture_fn(tex_pos (1,P,3)) → (1,P,C)` into an atlas image.
+
+    Every atlas pixel inside a face cell maps to barycentric coordinates of
+    that face's triangle; positions come from the mesh's canonical v_tex.
+    Returns (atlas (H, W, 3) numpy, uvs (F, 3, 2)).
+    """
+    faces = np.asarray(mesh.t_pos_idx)
+    F = faces.shape[0]
+    uvs, N = face_cell_uvs(F)
+
+    H = W = atlas_res
+    ys = (np.arange(H) + 0.5) / H
+    xs = (np.arange(W) + 0.5) / W
+    px, py = np.meshgrid(xs, ys)
+    cell_x = np.clip((px * N).astype(np.int64), 0, N - 1)
+    cell_y = np.clip((py * N).astype(np.int64), 0, N - 1)
+    fid = np.clip(cell_y * N + cell_x, 0, F - 1)          # (H, W)
+
+    # in-cell coordinates → barycentrics of the cell triangle
+    lx = px * N - cell_x - 0.05
+    ly = py * N - cell_y - 0.05
+    u = np.clip(lx / 0.9, 0, 1)
+    v = np.clip(ly / 0.9, 0, 1)
+    # fold upper half onto the triangle (clamp u+v <= 1)
+    s = np.clip(u + v, 1e-6, None)
+    scale = np.minimum(1.0, 1.0 / s)
+    u, v = u * scale, v * scale
+    w0 = 1.0 - u - v
+
+    v_tex = np.asarray(mesh.v_tex[0])                     # (V, 3)
+    tri = v_tex[faces[fid]]                               # (H, W, 3, 3)
+    pos = (tri[..., 0, :] * w0[..., None] + tri[..., 1, :] * u[..., None]
+           + tri[..., 2, :] * v[..., None])
+
+    tex = texture_fn(jnp.asarray(pos.reshape(1, -1, 3), jnp.float32))
+    tex = np.asarray(tex).reshape(H, W, -1)[..., :3]
+    return np.clip(tex, 0, 1), uvs
+
+
+def save_obj_with_mtl(path: str, mesh, texture_fn=None, atlas_res: int = 512,
+                      batch_index: int = 0):
+    """Write `<path>.obj` + `.mtl` + baked `_kd.png` (reference layout:
+    `obj.py:128-175`, `material.py:106-141`). Capacity padding is dropped
+    and vertex indices are remapped."""
+    v_valid = np.asarray(mesh.v_valid)
+    f_valid = np.asarray(mesh.f_valid)
+    verts = np.asarray(mesh.v_pos[min(batch_index,
+                                      mesh.v_pos.shape[0] - 1)])[v_valid]
+    remap = np.cumsum(v_valid) - 1
+    faces = np.asarray(mesh.t_pos_idx)[f_valid]
+    faces = remap[faces]
+
+    base = path[:-4] if path.endswith(".obj") else path
+    name = os.path.basename(base)
+
+    uv_lines = []
+    mtl = texture_fn is not None
+    if mtl:
+        atlas, uvs_all = bake_texture_atlas(mesh, texture_fn, atlas_res)
+        uvs = uvs_all[f_valid]                            # (Fv, 3, 2)
+        from PIL import Image
+        Image.fromarray((atlas * 255).astype(np.uint8)[::-1]) \
+            .save(base + "_kd.png")
+        with open(base + ".mtl", "w") as f:
+            f.write(f"newmtl material_0\nKd 1 1 1\nKs 0 0 0\n"
+                    f"map_Kd {name}_kd.png\n")
+
+    with open(base + ".obj", "w") as f:
+        if mtl:
+            f.write(f"mtllib {name}.mtl\nusemtl material_0\n")
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        if mtl:
+            for tri_uv in uvs:
+                for uv in tri_uv:
+                    f.write(f"vt {uv[0]:.6f} {uv[1]:.6f}\n")
+            for i, tri in enumerate(faces):
+                a, b, c = tri + 1
+                f.write(f"f {a}/{3 * i + 1} {b}/{3 * i + 2} {c}/{3 * i + 3}\n")
+        else:
+            for tri in faces:
+                a, b, c = tri + 1
+                f.write(f"f {a} {b} {c}\n")
+    return base + ".obj"
+
+
+def load_obj(path: str):
+    """Minimal OBJ reader (verts + faces [+ uvs]) — `obj.py:32-127`."""
+    verts, faces, uvs, uv_idx = [], [], [], []
+    with open(path) as f:
+        for line in f:
+            p = line.split()
+            if not p:
+                continue
+            if p[0] == "v":
+                verts.append([float(x) for x in p[1:4]])
+            elif p[0] == "vt":
+                uvs.append([float(x) for x in p[1:3]])
+            elif p[0] == "f":
+                idx = [q.split("/") for q in p[1:4]]
+                faces.append([int(q[0]) - 1 for q in idx])
+                if len(idx[0]) > 1 and idx[0][1]:
+                    uv_idx.append([int(q[1]) - 1 for q in idx])
+    return (np.asarray(verts, np.float32), np.asarray(faces, np.int32),
+            np.asarray(uvs, np.float32) if uvs else None,
+            np.asarray(uv_idx, np.int32) if uv_idx else None)
