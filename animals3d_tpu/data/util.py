@@ -36,6 +36,10 @@ def load_image(path, size, mode="RGB", resample=Image.BILINEAR):
 
 def compute_distance_transform(mask: np.ndarray) -> np.ndarray:
     """(1, H, W) binary → (2, H, W): [dt(mask), dt(1-mask)]."""
+    from animals3d_tpu import native
+    out = native.mask_distance_transform(mask)
+    if out is not None:
+        return out
     m = (mask[0] > 0.5).astype(np.uint8)
     if cv2 is not None:
         dt = cv2.distanceTransform(m, cv2.DIST_L2, cv2.DIST_MASK_PRECISE)
@@ -72,7 +76,12 @@ def decode_feat_from_img(img: np.ndarray, n_channels: int) -> np.ndarray:
 
 
 def dino_loader(fpath, n_channels: int) -> np.ndarray:
-    return decode_feat_from_img(np.asarray(Image.open(fpath)), n_channels)
+    img = np.asarray(Image.open(fpath))
+    from animals3d_tpu import native
+    out = native.decode_packed_feat(img, n_channels)
+    if out is not None:
+        return out
+    return decode_feat_from_img(img, n_channels)
 
 
 def flow_loader(fpath) -> np.ndarray:

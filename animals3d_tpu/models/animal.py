@@ -177,18 +177,26 @@ class AnimalModel:
 
     # -- init ---------------------------------------------------------------
     def init_params(self, rng) -> dict:
-        grid, v_cap, f_cap = self.grid_for_phase(
-            self.phase_for_iter(0))
+        """Jitted init: flax `init` is eager op-by-op otherwise — thousands
+        of tiny dispatches that crawl through a remote-device tunnel. The
+        grid is a jit argument (never a closure constant — HLO size)."""
+        grid, v_cap, f_cap = self.grid_for_phase(self.phase_for_iter(0))
         k1, k2, k3 = jax.random.split(rng, 3)
-        base_params = self.netBase.init(k1, grid, v_cap, f_cap,
-                                        method="init_all")["params"]
-        prior_mesh, _ = self.netBase.apply({"params": base_params}, grid,
-                                           v_cap, f_cap, method="init_all")
+
+        base_init = jax.jit(lambda k, g: self.netBase.init(
+            k, g, v_cap, f_cap, method="init_all"))
+        base_params = base_init(k1, grid)["params"]
+
+        prior_fn = jax.jit(lambda p, g: self.netBase.apply(
+            {"params": p}, g, v_cap, f_cap, method="init_all"))
+        prior_mesh, _ = prior_fn(base_params, grid)
+
         images = jnp.zeros((1, self.num_frames, 3, self.in_image_size,
                             self.in_image_size))
-        inst_params = self.netInstance.init(
-            {"params": k2, "vae": k3}, images, prior_mesh, 0, k3,
-            method="init_all")["params"]
+        inst_init = jax.jit(lambda ks, im, pm: self.netInstance.init(
+            ks, im, pm, 0, ks["vae"], method="init_all"))
+        inst_params = inst_init({"params": k2, "vae": k3}, images,
+                                prior_mesh)["params"]
         return {"netBase": base_params, "netInstance": inst_params}
 
     # -- loss weights -------------------------------------------------------

@@ -115,10 +115,9 @@ class Fauna(AnimalModel):
     def init_params(self, rng) -> dict:
         k1, k2 = jax.random.split(rng)
         params = super().init_params(k1)
-        H = self.in_image_size
         dummy = jnp.zeros((1, self.cfg_bank.memory_bank_dim + 1,
                            self.out_image_size, self.out_image_size))
-        params["netDisc"] = self.netDisc.init(k2, dummy)["params"]
+        params["netDisc"] = jax.jit(self.netDisc.init)(k2, dummy)["params"]
         return params
 
     def extra_optimizers(self):
