@@ -1,0 +1,170 @@
+"""Pallas TPU tile rasterizer — the visibility hot loop in VMEM.
+
+The XLA formulation in `ops.rasterize` scans face chunks and materializes a
+(pixels, chunk, 4) edge/depth tensor in HBM every step: measured 30.9 s per
+256² batch-10 render at 200k face capacity (≈4 TB of HBM traffic). This
+kernel blocks the computation flash-attention-style — a pixel tile and a
+face chunk meet in VMEM, and a running (z, id) argmin accumulates in the
+revisited output block — and *culls* non-interacting (tile, chunk) pairs:
+
+  * pixels are processed as 2-D screen tiles (32×32);
+  * each face chunk carries a screen-space bounding box (prefix-compacted
+    faces come out of marching tets in grid order, so chunks are spatially
+    coherent); boxes ride in SMEM via scalar prefetch and the kernel body is
+    predicated on tile↔box overlap. Capacity padding has an empty box, so
+    padded chunks never run;
+  * the remaining work is 4 small (TP,3)@(3,C) matmuls + VPU coverage/argmin.
+
+Output and barycentric/interp/antialias semantics are identical to
+`ops.rasterize.rasterize` (parity-tested in interpret mode).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from animals3d_tpu.ops.rasterize import (Rast, _face_coeffs,
+                                         compute_barycentrics)
+
+_BIG = 3.0e38
+TILE = 32          # pixel tile edge (TILE*TILE = one kernel pixel block)
+
+
+def _raster_kernel(bbox_ref, pix_ref, coef_ref, z_ref, id_ref, *,
+                   chunk: int, ntx: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        z_ref[...] = jnp.full_like(z_ref, _BIG)
+        id_ref[...] = jnp.zeros_like(id_ref)
+
+    ty = i // ntx
+    tx = i % ntx
+    x0 = (tx * TILE).astype(jnp.float32)
+    y0 = (ty * TILE).astype(jnp.float32)
+    # bbox is flattened to (B, nchunks*4): SMEM pads the last dim to 128
+    # lanes, so a trailing size-4 dim would 32x the footprint
+    overlap = ((bbox_ref[b, 4 * j + 0] < x0 + TILE) &
+               (bbox_ref[b, 4 * j + 2] >= x0) &
+               (bbox_ref[b, 4 * j + 1] < y0 + TILE) &
+               (bbox_ref[b, 4 * j + 3] >= y0))
+
+    @pl.when(overlap)
+    def _():
+        P = pix_ref[0]                                # (TP, 3)
+        A = coef_ref[0]                               # (3, 4, C)
+        e0 = jnp.dot(P, A[:, 0], preferred_element_type=jnp.float32)
+        e1 = jnp.dot(P, A[:, 1], preferred_element_type=jnp.float32)
+        e2 = jnp.dot(P, A[:, 2], preferred_element_type=jnp.float32)
+        zz = jnp.dot(P, A[:, 3], preferred_element_type=jnp.float32)
+        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        zc = jnp.where(cov, zz, _BIG)                 # (TP, C)
+        local = jnp.argmin(zc, axis=1, keepdims=True).astype(jnp.int32)
+        local_z = jnp.min(zc, axis=1, keepdims=True)  # (TP, 1)
+        take = local_z < z_ref[0]
+        z_ref[0] = jnp.where(take, local_z, z_ref[0])
+        id_ref[0] = jnp.where(take, j * chunk + local + 1, id_ref[0])
+
+
+def _tile_pixels(height: int, width: int):
+    """Pixel-center coords in 2-D-tile order → (ntiles, TILE*TILE, 3)."""
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5)
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5)
+    px, py = jnp.meshgrid(xs, ys)
+    P = jnp.stack([px, py, jnp.ones_like(px)], -1)        # (H, W, 3)
+    nty, ntx = height // TILE, width // TILE
+    P = P.reshape(nty, TILE, ntx, TILE, 3).transpose(0, 2, 1, 3, 4)
+    return P.reshape(nty * ntx, TILE * TILE, 3), nty, ntx
+
+
+def _untile(x, B, nty, ntx):
+    """(B, ntiles*TILE*TILE, 1) tile order → (B, H, W)."""
+    x = x[..., 0].reshape(B, nty, ntx, TILE, TILE)
+    return x.transpose(0, 1, 3, 2, 4).reshape(B, nty * TILE, ntx * TILE)
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "chunk",
+                                             "interpret"))
+def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
+                     resolution: tuple[int, int], num_faces=None,
+                     chunk: int = 512, interpret: bool = False) -> Rast:
+    height, width = resolution
+    assert height % TILE == 0 and width % TILE == 0, (height, width)
+    B, V, _ = v_clip.shape
+    v_nd = jax.lax.stop_gradient(v_clip)
+    F = faces.shape[0]
+    Fp = -(-F // chunk) * chunk
+    n_pix = height * width
+
+    def coeffs_one(vc):
+        A, ok, _, _ = _face_coeffs(vc, faces, f_valid, height, width)
+        # invalid faces: edge constant −1 → never covered; empty bbox
+        A = jnp.where(ok[:, None, None], A,
+                      jnp.asarray([0.0, 0.0, -1.0])[None, :, None])
+        w = vc[..., 3]
+        sw = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+        sx = ((vc[..., 0] / sw + 1.0) * (0.5 * width))[faces]     # (F, 3)
+        sy = ((vc[..., 1] / sw + 1.0) * (0.5 * height))[faces]
+        lo_x = jnp.where(ok, sx.min(-1), _BIG)
+        lo_y = jnp.where(ok, sy.min(-1), _BIG)
+        hi_x = jnp.where(ok, sx.max(-1), -_BIG)
+        hi_y = jnp.where(ok, sy.max(-1), -_BIG)
+        return A, jnp.stack([lo_x, lo_y, hi_x, hi_y], -1)
+
+    A, fbox = jax.vmap(coeffs_one)(v_nd)             # (B,F,3,4), (B,F,4)
+    if Fp != F:
+        padA = jnp.zeros((B, Fp - F, 3, 4), A.dtype).at[:, :, 1, 2].set(-1.0)
+        A = jnp.concatenate([A, padA], 1)
+        padB = jnp.zeros((B, Fp - F, 4), fbox.dtype) \
+            .at[..., :2].set(_BIG).at[..., 2:].set(-_BIG)
+        fbox = jnp.concatenate([fbox, padB], 1)
+    A = A.transpose(0, 2, 3, 1)                      # (B, 3, 4, Fp)
+    cb = fbox.reshape(B, Fp // chunk, chunk, 4)
+    bbox = jnp.concatenate([cb[..., :2].min(2), cb[..., 2:].max(2)], -1)
+    bbox = bbox.reshape(B, -1)                       # (B, nchunks*4)
+
+    P, nty, ntx = _tile_pixels(height, width)
+
+    grid = (B, nty * ntx, Fp // chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TILE * TILE, 3), lambda b, i, j, bx: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 4, chunk), lambda b, i, j, bx: (b, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE * TILE, 1), lambda b, i, j, bx: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE * TILE, 1), lambda b, i, j, bx: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    z, fid = pl.pallas_call(
+        functools.partial(_raster_kernel, chunk=chunk, ntx=ntx),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, n_pix, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, n_pix, 1), jnp.int32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_pix * Fp * 12,
+            bytes_accessed=B * (n_pix // (TILE * TILE)) * Fp * 16
+            + B * n_pix * 8,
+            transcendentals=0),
+    )(bbox, P, A)
+
+    z = _untile(z, B, nty, ntx)
+    fid = _untile(fid, B, nty, ntx)
+    z = jnp.where(fid > 0, z, 0.0)
+    uv = compute_barycentrics(v_clip, faces, fid, (height, width))
+    return Rast(uv=uv, z=z, face_id=fid)

@@ -71,7 +71,14 @@ def render_mesh(
     faces = mesh.t_pos_idx
 
     v_clip = xfm_points(mesh.v_pos, mtx_in)                  # (B, V, 4)
-    rast = rasterize(v_clip, faces, mesh.f_valid, full_res)
+    if jax.default_backend() == "tpu":
+        # Pallas tile rasterizer: visibility math stays in VMEM; padded
+        # capacity chunks beyond num_faces are skipped (prefix compaction)
+        from animals3d_tpu.ops.rasterize_pallas import rasterize_pallas
+        rast = rasterize_pallas(v_clip, faces, mesh.f_valid, full_res,
+                                num_faces=mesh.num_faces)
+    else:
+        rast = rasterize(v_clip, faces, mesh.f_valid, full_res)
     mask = rast.mask[..., None].astype(v_clip.dtype)         # (B, H', W', 1)
 
     # ---- interpolated attribute buffers -----------------------------------

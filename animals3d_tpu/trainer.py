@@ -105,6 +105,7 @@ class Trainer:
         self.metrics_trace = MetricsTrace()
         self._train_steps = {}       # phase.key -> compiled step
         self._disc_step = None
+        self._eval_step = None
         self._writer = None
 
     # ------------------------------------------------------------------
@@ -113,12 +114,62 @@ class Trainer:
             return self._writer
         logdir = os.path.join(self.cfg.checkpoint_dir, "logs")
         os.makedirs(logdir, exist_ok=True)
-        try:
-            from tensorboardX import SummaryWriter
-            self._writer = SummaryWriter(logdir, flush_secs=10)
-        except ImportError:
-            self._writer = None
+        if self.cfg.logger_type == "wandb":
+            from animals3d_tpu.utils.wandb_writer import WandbWriter
+            self._writer = WandbWriter(config=self.cfg_full)
+        else:
+            try:
+                from tensorboardX import SummaryWriter
+                self._writer = SummaryWriter(logdir, flush_secs=10)
+            except ImportError:
+                self._writer = None
         return self._writer
+
+    def _archive_code(self):
+        """Zip the package source next to the checkpoints
+        (`misc.archive_code`, `misc.py:75-85`)."""
+        import zipfile
+        import animals3d_tpu
+        pkg = os.path.dirname(animals3d_tpu.__file__)
+        os.makedirs(self.cfg.checkpoint_dir, exist_ok=True)
+        out = os.path.join(self.cfg.checkpoint_dir, "code.zip")
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith((".py", ".yaml")):
+                        p = os.path.join(root, fn)
+                        zf.write(p, os.path.relpath(p, os.path.dirname(pkg)))
+
+    def _log_visuals(self, writer, params, batch, total_iter):
+        """Image logging every log_image_freq (`Trainer.py:283-303` /
+        `AnimalModel.log_visuals`)."""
+        if writer is None:
+            return
+        phase = self.model.phase_for_iter(total_iter, is_training=False)
+        if self._eval_step is None:
+            model = self.model
+
+            def eval_fn(params, batch, total_iter, rng, grid):
+                _, (m, aux) = model.forward(params, batch, total_iter, rng,
+                                            phase, grid)
+                return aux
+            self._eval_step = jax.jit(eval_fn)
+        grid, _, _ = self.model.grid_for_phase(phase)
+        device_batch = meshlib.shard_batch(batch, self.mesh)
+        aux = self._eval_step(params, device_batch, total_iter,
+                              jax.random.PRNGKey(0), grid)
+        images = np.asarray(batch["images"][0, 0])
+        writer.add_image("train_image/input_image", images, total_iter)
+        if aux.get("image_pred") is not None:
+            writer.add_image("train_image/image_pred",
+                             np.clip(np.asarray(aux["image_pred"])[0, 0], 0, 1),
+                             total_iter)
+            writer.add_image("train_image/mask_pred",
+                             np.asarray(aux["mask_pred"])[0, 0][None],
+                             total_iter)
+        if aux.get("arti_params") is not None:
+            writer.add_histogram("train/articulation",
+                                 np.asarray(aux["arti_params"]), total_iter)
 
     def _train_step_for(self, phase, optimizer):
         key = phase.key
@@ -178,6 +229,8 @@ class Trainer:
         train_loader, val_loader, _ = get_data_loaders(self.cfg_dataset)
         assert train_loader is not None, "train_data_dir not configured"
         writer = self._logger()
+        if self.cfg.archive_code and jax.process_index() == 0:
+            self._archive_code()
         metrics = StandardMetrics()
         epoch_len = max(len(train_loader), 1)
 
@@ -228,6 +281,13 @@ class Trainer:
                                       total_iter)
                 self.metrics_trace.push(epoch, "train", host_metrics)
 
+            if cfg.log_image_freq and total_iter % cfg.log_image_freq == 0 \
+                    and self.cfg_model_enable_render():
+                try:
+                    self._log_visuals(writer, params, batch, total_iter)
+                except Exception as e:   # logging must never kill training
+                    print(f"log_visuals failed: {e}")
+
             if total_iter % cfg.save_checkpoint_freq == 0 and \
                     jax.process_index() == 0:
                 ckpt.save_checkpoint(
@@ -248,6 +308,10 @@ class Trainer:
         print(f"done: {total_iter} iters in {wall:.1f}s "
               f"({metrics.speed.get():.2f} imgs/s)")
         return params
+
+    def cfg_model_enable_render(self):
+        return getattr(self.model, "cfg_model", None) is None or \
+            self.model.cfg_model.enable_render
 
     # ------------------------------------------------------------------
     def test(self):
