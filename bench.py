@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 REF_A100_IMGS_PER_SEC = 10.0  # provisional; see module docstring
 
 
@@ -54,7 +56,6 @@ def main():
     model_cfg["dataset"] = cfg["dataset"]
     model = build_model(model_cfg)
 
-    import numpy as np
     rng = jax.random.PRNGKey(0)
     params = model.init_params(rng)
 
@@ -84,16 +85,22 @@ def main():
         return renders["shaded"]
 
     recon_jit = jax.jit(recon)
+    # fresh inputs per call + forced device reads: repeated identical calls
+    # can be served from result caches in the remote-execution stack and
+    # produce fantasy numbers
+    fresh = [jnp.asarray(r.uniform(0, 1, (batch, F, 3, H, H))
+                         .astype(np.float32)) for _ in range(4)]
     t0 = time.time()
-    out = jax.block_until_ready(recon_jit(params, images, rng, grid))
+    out = recon_jit(params, images, rng, grid)
+    _ = float(jnp.sum(out))
     compile_s = time.time() - t0
-    for _ in range(warmup):
-        out = recon_jit(params, images, rng, grid)
-    jax.block_until_ready(out)
+    for i in range(warmup):
+        _ = float(jnp.sum(recon_jit(params, fresh[i % 4],
+                                    jax.random.PRNGKey(100 + i), grid)))
     t0 = time.time()
-    for _ in range(iters):
-        out = recon_jit(params, images, rng, grid)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        _ = float(jnp.sum(recon_jit(params, fresh[i % 4],
+                                    jax.random.PRNGKey(i), grid)))
     dt = time.time() - t0
     imgs_per_sec = batch * F * iters / dt
 
