@@ -37,6 +37,27 @@ _BASE_EDGES = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], np.int3
 _KUHN_PERMS = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
 
 
+def kuhn_corners() -> np.ndarray:
+    """(6, 4, 3) corner offsets per tet, orientation-canonicalized.
+
+    Odd permutations produce mirror-image (negative-volume) tets, which
+    would flip the marching-tets triangle winding for half the lattice
+    (observed: 50% inward faces → broken vertex normals). Swapping corners
+    1↔2 for odd perms makes every tet positively oriented so extracted
+    surfaces wind consistently outward.
+    """
+    unit = np.eye(3, dtype=np.int32)
+    out = []
+    for perm in _KUHN_PERMS:
+        c = [np.zeros(3, np.int32), unit[perm[0]],
+             unit[perm[0]] + unit[perm[1]], np.ones(3, np.int32)]
+        parity = (np.linalg.det(np.eye(3)[list(perm)]) < 0)
+        if parity:
+            c[1], c[2] = c[2], c[1]
+        out.append(np.stack(c))
+    return np.stack(out)
+
+
 @dataclasses.dataclass
 class TetGrid:
     """Static tet-grid data (numpy, host-resident).
@@ -93,13 +114,8 @@ def kuhn_lattice(res: int) -> tuple[np.ndarray, np.ndarray]:
     base = np.stack([i.ravel(), j.ravel(), k.ravel()], -1).astype(np.int64)  # (C, 3)
 
     tet_list = []
-    unit = np.eye(3, dtype=np.int64)
-    for perm in _KUHN_PERMS:
-        c0 = base
-        c1 = base + unit[perm[0]]
-        c2 = base + unit[perm[0]] + unit[perm[1]]
-        c3 = base + 1
-        tet = np.stack([vid(*c.T) for c in (c0, c1, c2, c3)], -1)
+    for corners in kuhn_corners():
+        tet = np.stack([vid(*(base + c).T) for c in corners], -1)
         tet_list.append(tet)
     # (6, C, 4) → (C, 6, 4): order tets by cell then local index so the
     # layout is cache-friendly for neighboring cells

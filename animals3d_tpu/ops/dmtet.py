@@ -102,6 +102,7 @@ def marching_tets(pos: jax.Array, sdf: jax.Array, grid: TetGrid,
     """
     if getattr(grid, "is_lattice", False):
         return marching_tets_lattice(pos, sdf, grid.res, v_cap, f_cap)
+    flip = False   # npz artifact grids keep the reference's raw winding
 
     edges = jnp.asarray(grid.edges)               # (E, 2)
     tet_edge_ids = jnp.asarray(grid.tet_edge_ids)  # (T, 6)
@@ -163,6 +164,8 @@ def marching_tets(pos: jax.Array, sdf: jax.Array, grid: TetGrid,
                                    jnp.maximum(tri_local, 0), axis=1)
     faces = vslot[edge_ids]                                # (f_cap, 3)
     f_valid = f_valid & (faces < v_cap).all(-1) & (tri_local >= 0).all(-1)
+    if flip:
+        faces = faces[:, ::-1]
     faces = jnp.where(f_valid[:, None], faces, 0)
     face_gidx = jnp.where(f_valid, tet.astype(jnp.int32) * 2 + tri_sel, 0)
 
@@ -223,28 +226,24 @@ _LATTICE_DIRS = np.array([
     [0, 0, 1], [0, 1, 0], [0, 1, 1], [1, 0, 0], [1, 0, 1], [1, 1, 0],
     [1, 1, 1]], np.int32)
 
-_KUHN_PERMS = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1),
-               (2, 1, 0)]
-
-
 def _lattice_tables():
-    """Per-perm corner offsets and local-edge → (base corner, dir rank)."""
-    unit = np.eye(3, dtype=np.int32)
-    corners = []          # (6, 4, 3)
-    edge_map = []         # (6, 6, 4): base corner xyz + dir rank
+    """Per-tet corner offsets and local-edge → (base corner, dir rank),
+    using the orientation-canonicalized corners (`geometry.tets.kuhn_corners`)."""
+    from animals3d_tpu.geometry.tets import kuhn_corners
+    corners = kuhn_corners()          # (6, 4, 3)
+    edge_map = []                     # (6, 6, 4): base corner xyz + dir rank
     pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
-    for perm in _KUHN_PERMS:
-        cs = np.stack([np.zeros(3, np.int32), unit[perm[0]],
-                       unit[perm[0]] + unit[perm[1]],
-                       np.ones(3, np.int32)])
-        corners.append(cs)
+    for cs in corners:
         rows = []
         for a, b in pairs:
-            d = cs[b] - cs[a]
+            # canonicalized corner order can reverse an edge; the lattice
+            # edge identity is (lower corner, positive direction)
+            lo = np.minimum(cs[a], cs[b])
+            d = np.abs(cs[b] - cs[a])
             rank = int(np.where((_LATTICE_DIRS == d).all(1))[0][0])
-            rows.append([*cs[a], rank])
+            rows.append([*lo, rank])
         edge_map.append(rows)
-    return np.stack(corners), np.asarray(edge_map, np.int32)
+    return np.asarray(corners), np.asarray(edge_map, np.int32)
 
 
 _LATTICE_CORNERS, _LATTICE_EDGE_MAP = _lattice_tables()
@@ -357,6 +356,9 @@ def marching_tets_lattice(pos: jax.Array, sdf: jax.Array, res: int,
     edge_id = e_vid * 7 + entries[..., 3]
     faces = csum_cross[edge_id] - 1                          # vertex slots
     f_valid = f_valid & tri_ok & (faces < v_cap).all(-1) & (faces >= 0).all(-1)
+    # positively-oriented canonical tets emit inward-winding triangles with
+    # the standard table; flip so surfaces wind outward (sane vertex normals)
+    faces = faces[:, ::-1]
     faces = jnp.where(f_valid[:, None], faces, 0)
     face_gidx = jnp.where(f_valid, tet.astype(jnp.int32) * 2 + tri_sel, 0)
 

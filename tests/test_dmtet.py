@@ -44,7 +44,9 @@ def test_marching_tets_matches_numpy_oracle():
     assert int(out.num_faces) == len(ref_f)
     nv, nf = len(ref_v), len(ref_f)
     np.testing.assert_allclose(np.asarray(out.verts)[:nv], ref_v, atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(out.faces)[:nf], ref_f)
+    # the lattice path flips winding to outward; the oracle mirrors the
+    # reference's raw emission — same triangles, reversed column order
+    np.testing.assert_array_equal(np.asarray(out.faces)[:nf], ref_f[:, ::-1])
     assert np.asarray(out.v_valid)[:nv].all() and not np.asarray(out.v_valid)[nv:].any()
     assert np.asarray(out.f_valid)[:nf].all() and not np.asarray(out.f_valid)[nf:].any()
     # face_gidx consistent: gidx // 2 is a valid tet index, even/odd split sane
@@ -110,14 +112,16 @@ def test_lattice_path_matches_generic_path():
     sdf = jnp.asarray(sphere_sdf(grid.verts, r=0.31).astype(np.float32))
     pos = jnp.asarray(grid.verts)
     lat = dmtet.marching_tets_lattice(pos, sdf, grid.res, 2048, 4096)
-    # force the generic path by faking a non-lattice grid
+    # force the generic path by faking a non-lattice grid (raw reference
+    # winding — the lattice path emits the reversed column order)
     import dataclasses as dc
     gen_grid = dc.replace(grid, is_lattice=False)
     gen = dmtet.marching_tets(pos, sdf, gen_grid, 2048, 4096)
     np.testing.assert_array_equal(np.asarray(lat.v_valid), np.asarray(gen.v_valid))
     np.testing.assert_allclose(np.asarray(lat.verts), np.asarray(gen.verts),
                                atol=1e-7)
-    np.testing.assert_array_equal(np.asarray(lat.faces), np.asarray(gen.faces))
+    np.testing.assert_array_equal(np.asarray(lat.faces),
+                                  np.asarray(gen.faces)[:, ::-1])
     np.testing.assert_array_equal(np.asarray(lat.f_valid), np.asarray(gen.f_valid))
     np.testing.assert_array_equal(np.asarray(lat.face_gidx), np.asarray(gen.face_gidx))
     assert int(lat.num_verts) == int(gen.num_verts)
