@@ -46,6 +46,8 @@ class TrainerConfig:
     resume: bool = True
     archive_code: bool = False
     test_result_dir: Optional[str] = None
+    checkpoint_path: Optional[str] = None   # warm-start file (ours or .pth)
+    load_optim: bool = True
     use_logger: bool = True
     logger_type: str = "tensorboard"
     log_loss_freq: int = 50
@@ -222,6 +224,12 @@ class Trainer:
             state = {"params": params, "opt_state": opt_state}
             state, total_iter = ckpt.load_checkpoint(cfg.checkpoint_dir, state)
             params, opt_state = state["params"], state["opt_state"]
+        if total_iter == 0 and cfg.checkpoint_path:
+            # warm start (`config/train_ponymation_horse_stage1.yaml:48`:
+            # stage configs resume from a MagicPony / stage-1 checkpoint)
+            params = self._warm_start(params, cfg.checkpoint_path)
+            if not cfg.load_optim:
+                opt_state = optimizer.init(params)
 
         params = meshlib.replicate(params, self.mesh)
         opt_state = meshlib.replicate(opt_state, self.mesh)
@@ -308,6 +316,24 @@ class Trainer:
         print(f"done: {total_iter} iters in {wall:.1f}s "
               f"({metrics.speed.get():.2f} imgs/s)")
         return params
+
+    def _warm_start(self, params, path):
+        """Tolerant warm start from our checkpoint dir/file or a reference
+        `.pth` (strict=False semantics, `AnimalModel.py:127-132`)."""
+        from flax import serialization
+        if path.endswith(".pth"):
+            from animals3d_tpu import convert
+            loaded = convert.convert_checkpoint(path, self.model)
+        else:
+            state, _ = ckpt.load_checkpoint(
+                os.path.dirname(path) or ".", {"params": params},
+                checkpoint_name=os.path.basename(path))
+            return state["params"]
+        init_sd = serialization.to_state_dict(params)
+        merged, missing, _ = ckpt._merge(init_sd, loaded)
+        if missing:
+            print(f"warm start: {len(missing)} keys kept at init")
+        return serialization.from_state_dict(params, merged)
 
     def cfg_model_enable_render(self):
         return getattr(self.model, "cfg_model", None) is None or \

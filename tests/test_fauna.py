@@ -129,3 +129,35 @@ def test_fauna_dataset_single_category_batches(tmp_path):
     # all categories visited across consecutive blocks
     seen = {int(ds[start]["bboxs"][0, 8]) for start in range(0, 6, 2)}
     assert seen == {0, 1, 2}
+
+
+def test_fauna_trainer_loop_with_disc(tmp_path):
+    """Two Fauna training iterations inside the disc window: main step +
+    discriminator step both execute and the checkpoint includes netDisc."""
+    import os
+    from animals3d_tpu.data.synth import write_synth_dataset
+    from animals3d_tpu.trainer import Trainer
+
+    root = tmp_path / "fauna_ds"
+    for cat in ("bear", "cow"):
+        write_synth_dataset(str(root / "large_scale" / cat), n=2, size=64,
+                            dino_dim=4)
+    ckpt_dir = str(tmp_path / "ckpt")
+    overrides = TINY_FAUNA + [
+        f"dataset.train_data_dir={root}",
+        f"checkpoint_dir={ckpt_dir}",
+        "num_iters=2", "save_checkpoint_freq=2", "log_loss_freq=1",
+        "use_logger=false", "dataset.num_workers=1",
+        # pull the disc window down so iteration 1-2 are inside it
+        "model.cfg_mask_discriminator.enable_iter=[0, 100]",
+        "model.cfg_predictor_instance.cfg_articulation.articulation_iter_range=[0, inf]",
+    ]
+    cfg = cfglib.load_config("train_fauna", overrides=overrides)
+    model_cfg = dict(cfg["model"])
+    model_cfg["dataset"] = cfg["dataset"]
+    model = build_model(model_cfg)
+    assert model.phase_for_iter(1).disc_on
+    trainer = Trainer(cfg, model)
+    trainer.train()
+    names = os.listdir(ckpt_dir)
+    assert any(n.startswith("checkpoint") for n in names)
