@@ -59,6 +59,8 @@ class TrainerConfig:
     mixed_precision: Optional[str] = "bf16"
     disc_train: bool = False
     remake_dataloader_iter: int = -1
+    remake_dataloader_num: int = -1
+    shuffle_dataset_paths: bool = True
     mesh_shape: Optional[Any] = None
 
 
@@ -247,6 +249,16 @@ class Trainer:
         t_start = time.time()
         train_iter = iter(train_loader)
         while total_iter < cfg.num_iters:
+            if cfg.remake_dataloader_iter > 0 and \
+                    total_iter == cfg.remake_dataloader_iter:
+                # Fauna curriculum re-split (`Trainer.py:237-242`): rebuild
+                # loaders with pseudo-category splitting mid-training
+                import dataclasses as _dc
+                self.cfg_dataset = _dc.replace(
+                    self.cfg_dataset,
+                    dataset_split_num=cfg.remake_dataloader_num)
+                train_loader, val_loader, _ = get_data_loaders(self.cfg_dataset)
+                train_iter = iter(train_loader)
             try:
                 batch = next(train_iter)
             except StopIteration:
