@@ -86,8 +86,14 @@ def _face_coeffs(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     e = jnp.stack([jnp.stack([a0, b0, c0], -1),
                    jnp.stack([a1, b1, c1], -1),
                    jnp.stack([a2, b2, c2], -1)], -1) * sgn[:, None, None]
-    # affine depth row: z(p) = sum_i (e_i * |inv_det|) * z_i
+    # affine depth row: z(p) = sum_i (e_i * |inv_det|) * z_i — computed from
+    # the raw edge functions, before the coverage epsilon below
     zrow = jnp.einsum("fki,fi->fk", e, fz) * jnp.abs(inv_det)[:, None]
+    # shift edge constants by a det-scaled epsilon so pixels exactly on
+    # shared edges (e == 0) stay covered under either evaluation order
+    # (matmul vs per-edge dot round differently; without this, watertight
+    # meshes can drop single pixels on grid-aligned edges)
+    e = e.at[:, 2, :].add(1e-4 * jnp.abs(det)[:, None])
     A = jnp.concatenate([e, zrow[:, :, None]], -1)          # (F, 3, 4)
     A = jnp.where(ok[:, None, None], A, 0.0)
     # scale edge rows so coverage test is scale-free; keep z row exact
