@@ -151,17 +151,19 @@ class Trainer:
             return
         phase = self.model.phase_for_iter(total_iter, is_training=False)
         if self._eval_step is None:
+            self._eval_step = {}
+        if phase.key not in self._eval_step:
             model = self.model
 
-            def eval_fn(params, batch, total_iter, rng, grid):
+            def eval_fn(params, batch, total_iter, rng, grid, _phase=phase):
                 _, (m, aux) = model.forward(params, batch, total_iter, rng,
-                                            phase, grid)
+                                            _phase, grid)
                 return aux
-            self._eval_step = jax.jit(eval_fn)
+            self._eval_step[phase.key] = jax.jit(eval_fn)
         grid, _, _ = self.model.grid_for_phase(phase)
         device_batch = meshlib.shard_batch(batch, self.mesh)
-        aux = self._eval_step(params, device_batch, total_iter,
-                              jax.random.PRNGKey(0), grid)
+        aux = self._eval_step[phase.key](params, device_batch, total_iter,
+                                         jax.random.PRNGKey(0), grid)
         images = np.asarray(batch["images"][0, 0])
         writer.add_image("train_image/input_image", images, total_iter)
         if aux.get("image_pred") is not None:
@@ -290,6 +292,12 @@ class Trainer:
                 host_metrics = {k: float(v) for k, v in
                                 jax.device_get(step_metrics).items()
                                 if np.ndim(v) == 0}
+                if not math.isfinite(host_metrics.get("loss", 0.0)):
+                    # reference drops into pdb on NaN loss
+                    # (`AnimalModel.py:504-506`); fail fast with context
+                    raise FloatingPointError(
+                        f"non-finite loss at iter {total_iter}: "
+                        f"{host_metrics}")
                 bsz = batch["images"].shape[0]
                 metrics.update(host_metrics, bsz)
                 epoch = total_iter // epoch_len
