@@ -375,15 +375,22 @@ class Trainer:
         os.makedirs(result_dir, exist_ok=True)
 
         from animals3d_tpu.utils import results_io
-        phase = self.model.phase_for_iter(max(total_iter, 1) - 1,
-                                          is_training=False)
+        it = max(total_iter, 1) - 1
+        phase = self.model.phase_for_iter(it, is_training=False)
+        model = self.model
+
+        @jax.jit
+        def eval_step(params, batch, rng, grid):
+            _, (metrics, aux) = model.forward(params, batch, it, rng, phase,
+                                              grid)
+            return aux
+
+        grid, _, _ = self.model.grid_for_phase(phase)
         count = 0
         for batch in test_loader:
             device_batch = meshlib.shard_batch(batch, self.mesh)
             rng = jax.random.PRNGKey(cfg.seed + count)
-            grid, _, _ = self.model.grid_for_phase(phase)
-            _, (metrics, aux) = self.model.forward(
-                params, device_batch, max(total_iter, 1) - 1, rng, phase, grid)
+            aux = jax.device_get(eval_step(params, device_batch, rng, grid))
             results_io.save_results(self.model, batch, aux, result_dir,
                                     start_index=count)
             count += batch["images"].shape[0]
