@@ -95,7 +95,7 @@ def _untile(x, B, nty, ntx):
                                              "interpret"))
 def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
                      resolution: tuple[int, int], num_faces=None,
-                     chunk: int = 512, interpret: bool = False) -> Rast:
+                     chunk: int = 1024, interpret: bool = False) -> Rast:
     height, width = resolution
     assert height % TILE == 0 and width % TILE == 0, (height, width)
     B, V, _ = v_clip.shape
