@@ -82,19 +82,23 @@ def render_mesh(
     mask = rast.mask[..., None].astype(v_clip.dtype)         # (B, H', W', 1)
 
     # ---- interpolated attribute buffers -----------------------------------
-    gb_pos = interpolate(mesh.v_pos, rast, faces)
-    gb_normal = interpolate(mesh.v_nrm, rast, faces)
+    # one fused gather for pos/normal/canonical-tex-pos (9 channels): the
+    # per-pixel triangle gathers dominate this stage, so batch them
+    prior = prior_mesh if prior_mesh is not None else mesh
+    v_tex = prior.v_pos
+    if v_tex.shape[0] == 1 and B > 1:
+        v_tex = jnp.broadcast_to(v_tex, (B, *v_tex.shape[1:]))
+    fused = interpolate(
+        jnp.concatenate([mesh.v_pos, mesh.v_nrm, v_tex], -1), rast, faces)
+    gb_pos = fused[..., 0:3]
+    gb_normal = fused[..., 3:6]
+    gb_tex_pos = fused[..., 6:9]
+
     fn = face_normals(mesh.v_pos, faces, mesh.f_valid)       # (B, F, 3)
     sel = jnp.maximum(rast.face_id - 1, 0)
     gb_geo_normal = jnp.take_along_axis(
         fn[:, :, None, :], sel.reshape(B, -1, 1, 1).repeat(3, -1), axis=1
     ).reshape(*sel.shape, 3) * mask
-
-    prior = prior_mesh if prior_mesh is not None else mesh
-    v_tex = prior.v_pos
-    if v_tex.shape[0] == 1 and B > 1:
-        v_tex = jnp.broadcast_to(v_tex, (B, *v_tex.shape[1:]))
-    gb_tex_pos = interpolate(v_tex, rast, faces)
 
     # ---- optional 2D flow (clip-space delta between consecutive frames) ----
     flow_interp = None
@@ -153,10 +157,12 @@ def render_mesh(
     if background is not None and spp > 1:
         background = jnp.repeat(jnp.repeat(background, spp, 1), spp, 2)
 
-    out = {}
+    # composite all requested buffers, then antialias the AA-modes in ONE
+    # pass (the silhouette blend weights are shared; per-mode AA calls would
+    # redo the per-pixel edge-function gathers)
+    accums = {}
     for key in render_modes:
         if key not in buffers:
-            out[key] = None
             continue
         buf = buffers[key]
         if background is not None and key in _BG_IMAGE_MODES:
@@ -167,9 +173,24 @@ def render_mesh(
         else:
             bg = jnp.zeros((*buf.shape[:-1], buf.shape[-1] + 1), buf.dtype)
         fg = jnp.concatenate([buf, jnp.ones_like(buf[..., :1])], -1)
-        accum = bg + (fg - bg) * mask
-        if key in _ANTIALIAS_MODES:
-            accum = antialias(accum, rast, v_clip, faces)
+        accums[key] = bg + (fg - bg) * mask
+
+    aa_keys = [k for k in accums if k in _ANTIALIAS_MODES]
+    if aa_keys:
+        packed = jnp.concatenate([accums[k] for k in aa_keys], -1)
+        packed = antialias(packed, rast, v_clip, faces)
+        off = 0
+        for k in aa_keys:
+            c = accums[k].shape[-1]
+            accums[k] = packed[..., off:off + c]
+            off += c
+
+    out = {}
+    for key in render_modes:
+        if key not in accums:
+            out[key] = None
+            continue
+        accum = accums[key]
         if spp > 1:
             accum = avg_pool_nhwc(accum, spp)
         # reference channel slicing (`render.py:320-333`)
