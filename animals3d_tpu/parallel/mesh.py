@@ -22,6 +22,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _MESH: Optional[Mesh] = None
 
 
+def enable_compilation_cache(path: Optional[str] = None):
+    """Persistent XLA compilation cache — full-model compiles take minutes
+    through a remote compile service; cache them across processes."""
+    import os
+    path = path or os.path.join(os.path.expanduser("~"), ".cache",
+                                "animals3d_tpu", "xla")
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:      # older jax: silently skip
+        print(f"compilation cache unavailable: {e}")
+
+
 def get_mesh(mesh_shape: Optional[dict] = None, devices=None) -> Mesh:
     """Build (or fetch the cached) 1-D dp mesh over local devices.
 

@@ -28,6 +28,8 @@ REF_A100_IMGS_PER_SEC = 10.0  # provisional; see module docstring
 def main():
     import jax
     import jax.numpy as jnp
+    from animals3d_tpu.parallel.mesh import enable_compilation_cache
+    enable_compilation_cache()
 
     tiny = os.environ.get("BENCH_TINY") == "1"
 

@@ -19,6 +19,8 @@ def main(argv=None):
     from animals3d_tpu import config as cfglib
     from animals3d_tpu.models import build_model
     from animals3d_tpu.trainer import Trainer
+    from animals3d_tpu.parallel.mesh import enable_compilation_cache
+    enable_compilation_cache()
 
     cfg = cfglib.load_config(args.config_name, overrides=args.overrides,
                              config_dir=args.config_dir)
