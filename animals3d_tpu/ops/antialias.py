@@ -26,6 +26,19 @@ This implementation reproduces that scheme with two vectorized passes
     1/2 − t. Exactly nvdiffrast's rule.
 
 Everything is jnp; gradients flow to `v_clip` through the edge functions.
+
+Two implementations share the blend math:
+
+  * `antialias_dense` — evaluates edge functions for every pixel pair
+    (2·H·W per image). Simple, but the per-pixel triangle/vertex gathers
+    (12 floats/pixel) and their scatter-add transposes dominated the render
+    tail on TPU (123 ms fwd / ~215 ms bwd at 256²×10).
+  * `antialias` (default) — detects silhouette pairs from (face_id, z) only
+    (pure VPU), prefix-compacts them to a capacity-bounded slot list
+    (cumsum + batched binary search, same trick as marching tets), and does
+    the differentiable edge-function work and color blending only for those
+    ~O(H) pairs. Gathers and the backward scatter-adds shrink from H·W·3
+    rows to `pair_cap` rows.
 """
 from __future__ import annotations
 
@@ -33,6 +46,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from animals3d_tpu.ops.dmtet import first_geq
 from animals3d_tpu.ops.rasterize import Rast
 
 
@@ -95,8 +109,8 @@ def _pair_blend(inside_is_first, e_in_p, e_in_q, valid):
     return w_to_first, w_to_second
 
 
-def antialias(color: jax.Array, rast: Rast, v_clip: jax.Array,
-              faces: jax.Array, z_tol: float = 2e-3) -> jax.Array:
+def antialias_dense(color: jax.Array, rast: Rast, v_clip: jax.Array,
+                    faces: jax.Array, z_tol: float = 2e-3) -> jax.Array:
     """Antialias `color` (B, H, W, C) at silhouettes. Differentiable in
     v_clip (silhouette position) and color."""
     B, H, W, _ = color.shape
@@ -148,3 +162,111 @@ def antialias(color: jax.Array, rast: Rast, v_clip: jax.Array,
         out = out + jnp.pad(contrib_first, pad_lo) + jnp.pad(contrib_second, pad_hi)
 
     return out
+
+
+def default_pair_cap(height: int, width: int) -> int:
+    """Silhouette-pair slot capacity: ~16 pairs per image row covers several
+    disjoint silhouettes (animal body + 4 legs against body) with slack;
+    rounded up to a lane multiple."""
+    cap = 16 * max(height, width)
+    return -(-cap // 128) * 128
+
+
+def antialias(color: jax.Array, rast: Rast, v_clip: jax.Array,
+              faces: jax.Array, z_tol: float = 2e-3,
+              pair_cap: int | None = None) -> jax.Array:
+    """Compacted antialias: identical semantics to `antialias_dense` as long
+    as the number of silhouette pixel pairs per image fits in `pair_cap`
+    (overflow pairs — in raster order — are dropped, weakening a few
+    silhouette gradients but never corrupting covered pixels).
+
+    Differentiable in `color` and `v_clip`; the pair *detection* is discrete
+    and runs under stop_gradient.
+    """
+    B, H, W, C = color.shape
+    K = pair_cap if pair_cap is not None else default_pair_cap(H, W)
+    n_pix = H * W
+
+    fid = lax.stop_gradient(rast.face_id)
+    z = jnp.where(fid > 0, lax.stop_gradient(rast.z), jnp.inf)
+    fid_f = fid.reshape(B, n_pix)
+    z_f = z.reshape(B, n_pix)
+
+    # ---- pair validity over the flattened (axis, pixel) pair space --------
+    def pair_valid(fid_p, fid_q, z_p, z_q):
+        differs = fid_p != fid_q
+        any_bg = (fid_p == 0) | (fid_q == 0)
+        both_bg = (fid_p == 0) & (fid_q == 0)
+        depth_gap = jnp.abs(z_p - z_q) > z_tol
+        return differs & (any_bg | depth_gap) & ~both_bg
+
+    # horizontal pairs: p = (y, x), q = (y, x+1); x = W-1 never valid
+    vh = pair_valid(fid[..., :-1], fid[..., 1:], z[..., :-1], z[..., 1:])
+    vh = jnp.pad(vh, ((0, 0), (0, 0), (0, 1)))
+    # vertical pairs: p = (y, x), q = (y+1, x); y = H-1 never valid
+    vv_ = pair_valid(fid[:, :-1], fid[:, 1:], z[:, :-1], z[:, 1:])
+    vv_ = jnp.pad(vv_, ((0, 0), (0, 1), (0, 0)))
+    valid = jnp.concatenate([vh.reshape(B, n_pix), vv_.reshape(B, n_pix)], -1)
+
+    # ---- prefix-compact valid pairs into K slots per image ----------------
+    csum = jnp.cumsum(valid.astype(jnp.int32), axis=-1)      # (B, 2·n_pix)
+    targets = jnp.arange(1, K + 1, dtype=jnp.int32)
+    pair_idx = jax.vmap(lambda cs: first_geq(cs, targets))(csum)   # (B, K)
+    slot_ok = targets[None, :] <= csum[:, -1:]
+    pair_idx = jnp.where(slot_ok, pair_idx, 0)
+
+    is_vert = pair_idx >= n_pix
+    p_lin = jnp.where(is_vert, pair_idx - n_pix, pair_idx)    # (B, K)
+    q_lin = p_lin + jnp.where(is_vert, W, 1)
+    q_lin = jnp.minimum(q_lin, n_pix - 1)
+
+    take = lambda a, idx: jnp.take_along_axis(a, idx, axis=1)
+    fid_p, fid_q = take(fid_f, p_lin), take(fid_f, q_lin)
+    z_p, z_q = take(z_f, p_lin), take(z_f, q_lin)
+
+    inside_is_first = jnp.where(fid_q == 0, True,
+                                jnp.where(fid_p == 0, False, z_p < z_q))
+    fid_in = jnp.where(inside_is_first, fid_p, fid_q)
+    tri = faces[jnp.maximum(fid_in - 1, 0)]                   # (B, K, 3)
+
+    # ---- differentiable edge functions of the inside triangle -------------
+    def edge_coeffs(vc, tri_b):
+        vv = vc[tri_b]                                        # (K, 3, 4)
+        w = vv[..., 3]
+        safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+        sx = (vv[..., 0] / safe_w + 1.0) * (0.5 * W)
+        sy = (vv[..., 1] / safe_w + 1.0) * (0.5 * H)
+        x0, x1, x2 = sx[..., 0], sx[..., 1], sx[..., 2]
+        y0, y1, y2 = sy[..., 0], sy[..., 1], sy[..., 2]
+        det = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        sgn = jnp.where(det >= 0, 1.0, -1.0)[..., None]
+        a = jnp.stack([y1 - y2, y2 - y0, y0 - y1], -1) * sgn
+        b = jnp.stack([x2 - x1, x0 - x2, x1 - x0], -1) * sgn
+        c = jnp.stack([x1 * y2 - x2 * y1, x2 * y0 - x0 * y2,
+                       x0 * y1 - x1 * y0], -1) * sgn
+        return a, b, c
+
+    ea, eb, ec = jax.vmap(edge_coeffs)(v_clip, tri)           # (B, K, 3)
+
+    x_p = (p_lin % W).astype(jnp.float32) + 0.5
+    y_p = (p_lin // W).astype(jnp.float32) + 0.5
+    x_q = (q_lin % W).astype(jnp.float32) + 0.5
+    y_q = (q_lin // W).astype(jnp.float32) + 0.5
+    e_p = ea * x_p[..., None] + eb * y_p[..., None] + ec
+    e_q = ea * x_q[..., None] + eb * y_q[..., None] + ec
+
+    w_first, w_second = _pair_blend(inside_is_first, e_p, e_q, slot_ok)
+
+    # ---- gather colors, scatter blended deltas -----------------------------
+    color_f = color.reshape(B, n_pix, C)
+    c_p = jnp.take_along_axis(color_f, p_lin[..., None], axis=1)
+    c_q = jnp.take_along_axis(color_f, q_lin[..., None], axis=1)
+    delta = c_q - c_p                                         # (B, K, C)
+
+    def scatter_one(cf, p_i, q_i, wf, ws, d):
+        out = cf.at[p_i].add(wf[:, None] * d)
+        return out.at[q_i].add(-ws[:, None] * d)
+
+    out = jax.vmap(scatter_one)(color_f, p_lin, q_lin, w_first, w_second,
+                                delta)
+    return out.reshape(B, H, W, C)

@@ -15,9 +15,12 @@ Contract preserved (consumed by the models layer):
     making appearance pose-invariant.
   * antialias applied to shaded/flow/dino_pred/depth/shading after
     compositing over the background (`render.py:258-268,311`).
-  * spp supersampling rasterizes and shades at spp× resolution and
-    average-pools down (reference msaa path shades at low res; we shade at
-    full res — strictly more accurate, and spp=1 in training).
+  * spp supersampling rasterizes at spp× resolution; with `msaa=True`
+    (the reference's only call site, `AnimalModel.py:248`) shading runs at
+    the base resolution on a nearest-subsampled rast (`render.py:170-173`),
+    buffers are nearest-upsampled back, and compositing/antialias/avg-pool
+    happen at full res — visibility is supersampled, shading is not.
+    `msaa=False` shades at full supersampled res (strictly more accurate).
 
 All heavy per-pixel work (material/DINO MLPs) runs on flattened (B·H·W)
 batches that XLA maps onto the MXU.
@@ -32,7 +35,7 @@ import jax.numpy as jnp
 from animals3d_tpu.geometry.mesh import Mesh, face_normals
 from animals3d_tpu.ops import shading as sh
 from animals3d_tpu.ops.antialias import antialias
-from animals3d_tpu.ops.rasterize import interpolate, rasterize
+from animals3d_tpu.ops.rasterize import Rast, interpolate, rasterize
 from animals3d_tpu.render.camera import xfm_points
 from animals3d_tpu.render.light import directional_shade
 
@@ -55,6 +58,7 @@ def render_mesh(
     light_params: Optional[jax.Array] = None,  # (B, 5) dir+amb+diff
     background: Optional[jax.Array] = None,    # (B, H, W, 3)
     spp: int = 1,
+    msaa: bool = True,
     render_modes: Sequence[str] = ("shaded",),
     prior_mesh: Optional[Mesh] = None,
     dino_fn: Optional[Callable] = None,        # (tex_pos BHW3) -> BHWD
@@ -81,6 +85,15 @@ def render_mesh(
         rast = rasterize(v_clip, faces, mesh.f_valid, full_res)
     mask = rast.mask[..., None].astype(v_clip.dtype)         # (B, H', W', 1)
 
+    # MSAA: shade at base resolution on a nearest-subsampled rast
+    # (`render.py:170-173`); visibility/compositing stay at full res
+    rast_full = rast
+    shade_at_low = spp > 1 and msaa
+    if shade_at_low:
+        rast = Rast(uv=rast.uv[:, ::spp, ::spp],
+                    z=rast.z[:, ::spp, ::spp],
+                    face_id=rast.face_id[:, ::spp, ::spp])
+
     # ---- interpolated attribute buffers -----------------------------------
     # one fused gather for pos/normal/canonical-tex-pos (9 channels): the
     # per-pixel triangle gathers dominate this stage, so batch them
@@ -94,11 +107,12 @@ def render_mesh(
     gb_normal = fused[..., 3:6]
     gb_tex_pos = fused[..., 6:9]
 
+    shade_mask = rast.mask[..., None].astype(v_clip.dtype)
     fn = face_normals(mesh.v_pos, faces, mesh.f_valid)       # (B, F, 3)
     sel = jnp.maximum(rast.face_id - 1, 0)
     gb_geo_normal = jnp.take_along_axis(
         fn[:, :, None, :], sel.reshape(B, -1, 1, 1).repeat(3, -1), axis=1
-    ).reshape(*sel.shape, 3) * mask
+    ).reshape(*sel.shape, 3) * shade_mask
 
     # ---- optional 2D flow (clip-space delta between consecutive frames) ----
     flow_interp = None
@@ -154,6 +168,11 @@ def render_mesh(
         buffers["depth"] = (z_cam - zmin) / jnp.maximum(zmax - zmin, 1e-12)
 
     # ---- composite over background + antialias ----------------------------
+    if shade_at_low:
+        # nearest-upsample shaded buffers back to visibility resolution
+        # (`render.py:218-220`)
+        buffers = {k: jnp.repeat(jnp.repeat(v, spp, 1), spp, 2)
+                   for k, v in buffers.items()}
     if background is not None and spp > 1:
         background = jnp.repeat(jnp.repeat(background, spp, 1), spp, 2)
 
@@ -178,7 +197,7 @@ def render_mesh(
     aa_keys = [k for k in accums if k in _ANTIALIAS_MODES]
     if aa_keys:
         packed = jnp.concatenate([accums[k] for k in aa_keys], -1)
-        packed = antialias(packed, rast, v_clip, faces)
+        packed = antialias(packed, rast_full, v_clip, faces)
         off = 0
         for k in aa_keys:
             c = accums[k].shape[-1]

@@ -90,3 +90,30 @@ def test_color_gradient_passthrough():
     g = jax.grad(loss)(alpha)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_compact_matches_dense():
+    # an articulated-ish scene: two overlapping squares at different depths
+    # produces background silhouettes AND depth-gap internal silhouettes
+    from animals3d_tpu.ops.antialias import antialias_dense
+
+    v1, f1 = _square(0.037)
+    v2, f2 = _square(0.53)
+    v2 = v2.at[:, 2].set(0.8).at[:, 1].mul(0.4)
+    v = jnp.concatenate([v1, v2], 0)
+    f = jnp.concatenate([f1, f2 + 4], 0)
+    rast = rz.rasterize(v[None], f, jnp.ones(4, bool), (16, 16))
+    rng = np.random.default_rng(0)
+    color = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 5)).astype(np.float32))
+
+    dense = antialias_dense(color, rast, v[None], f)
+    compact = antialias(color, rast, v[None], f)
+    np.testing.assert_allclose(np.asarray(compact), np.asarray(dense),
+                               atol=1e-5)
+
+    # gradients agree too (color and vertex paths)
+    gd = jax.grad(lambda vv: jnp.sum(
+        antialias_dense(color, rast, vv, f) ** 2))(v[None])
+    gc = jax.grad(lambda vv: jnp.sum(
+        antialias(color, rast, vv, f) ** 2))(v[None])
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gd), atol=1e-4)

@@ -116,3 +116,27 @@ def test_render_batched_and_background():
     assert shaded[0, 3, 0, 0] < 1e-5
     # batch entries identical
     np.testing.assert_allclose(shaded[0], shaded[1], atol=1e-6)
+
+
+def test_spp_msaa_low_res_shading():
+    """spp>1 + msaa: supersampled visibility, base-res shading
+    (`render.py:170-173,218-220`); both paths agree closely on a sphere."""
+    mesh, _ = _sphere_mesh()
+    mvp, w2c, campos = _camera()
+    out_msaa = render_mesh(mesh, mvp, w2c, campos, (32, 32), spp=2,
+                           msaa=True, render_modes=("shaded",))
+    out_full = render_mesh(mesh, mvp, w2c, campos, (32, 32), spp=2,
+                           msaa=False, render_modes=("shaded",))
+    out_1spp = render_mesh(mesh, mvp, w2c, campos, (32, 32), spp=1,
+                           render_modes=("shaded",))
+    a = np.asarray(out_msaa["shaded"][0])
+    b = np.asarray(out_full["shaded"][0])
+    c = np.asarray(out_1spp["shaded"][0])
+    assert a.shape == b.shape == c.shape == (4, 32, 32)
+    # identical where shading is flat (kd = 1, no light): only silhouette
+    # sub-sampling can differ
+    assert np.abs(a - b).mean() < 0.01
+    # supersampled mask is smoother than 1-spp at the rim: fractional
+    # coverage values strictly between 0 and 1 appear more often
+    frac_pix = lambda m: ((m > 0.1) & (m < 0.9)).sum()
+    assert frac_pix(a[3]) >= frac_pix(c[3])
