@@ -482,6 +482,16 @@ class AnimalModel:
                "mvp": mvp, "w2c": w2c, "campos": campos,
                "im_features": im_features, "light_params": light_params,
                "arti_params": arti_params, "class_vector": class_vector,
+               # logging-only extras (`AnimalModel.log_visuals`, `:517-636`);
+               # DCE'd out of the train step, which returns only metrics
+               "pose_raw": pose_raw, "deformation": deformation,
+               "sdf": sdf, "mask_gt": mask_gt,
+               "dino_pred": dino_pred if do_render else None,
+               "dino_gt": dino_gt,
+               "flow_pred": flow_pred if do_render else None,
+               "flow_gt": flow_gt,
+               "rots_probs": fw_aux.get("rots_probs"),
+               "posed_bones": fw_aux.get("posed_bones"),
                **{k: fw_aux[k] for k in ("rot_idx", "rand_pose_flag")}}
         return total, (metrics, aux)
 

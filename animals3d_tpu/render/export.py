@@ -34,6 +34,72 @@ def face_cell_uvs(num_faces: int, pad: float = 0.45):
     return uvs.astype(np.float32), N
 
 
+def map_uv_reference(face_gidx: np.ndarray, max_idx: int):
+    """Exact reference atlas tiling (`map_uv`, `dmtet.py:69-98`): one cell
+    per global TET on an N×N grid, N = ceil(sqrt((max_idx+1)//2)); the two
+    triangles of a tet share the cell — gid%2==0 spans padded-square corners
+    (0,1,2), gid%2==1 spans (0,2,3). Returns per-face UV triples (F, 3, 2).
+    """
+    N = int(np.ceil(np.sqrt((max_idx + 1) // 2)))
+    pad = 0.9 / N
+    tet_idx = face_gidx // 2
+    x = (tet_idx % N).astype(np.float32) / N
+    y = (tet_idx // N).astype(np.float32) / N
+    c0 = np.stack([x, y], -1)
+    c1 = np.stack([x + pad, y], -1)
+    c2 = np.stack([x + pad, y + pad], -1)
+    c3 = np.stack([x, y + pad], -1)
+    tri1 = (face_gidx % 2).astype(bool)[:, None, None]
+    uvs = np.where(tri1, np.stack([c0, c2, c3], 1), np.stack([c0, c1, c2], 1))
+    return uvs.astype(np.float32), N
+
+
+def bake_texture_atlas_reference(mesh, texture_fn, max_idx: int,
+                                 atlas_res: int = 256):
+    """Bake into the reference `map_uv` tiling (analytic, no UV-space
+    rasterizer): each atlas pixel → tet cell → face via a searchsorted
+    lookup on the mesh's (ascending) face_gidx → barycentric position.
+    Note the reference bakes 256² against an N²≈num_tets cell grid
+    (`material.py:106`), so cells are sub-pixel at production grid
+    resolutions — identical layout, identical (low) bake quality."""
+    face_gidx = np.asarray(mesh.face_gidx)
+    f_valid = np.asarray(mesh.f_valid)
+    gids = face_gidx[f_valid]
+    faces = np.asarray(mesh.t_pos_idx)[f_valid]
+    N = int(np.ceil(np.sqrt((max_idx + 1) // 2)))
+
+    H = W = atlas_res
+    ys = (np.arange(H) + 0.5) / H
+    xs = (np.arange(W) + 0.5) / W
+    px, py = np.meshgrid(xs, ys)
+    cx = np.clip((px * N).astype(np.int64), 0, N - 1)
+    cy = np.clip((py * N).astype(np.int64), 0, N - 1)
+    tet = cy * N + cx
+    # local coords in pad units; diagonal c0→c2 splits the two triangles
+    lx = np.clip((px * N - cx) / 0.9, 0, 1)
+    ly = np.clip((py * N - cy) / 0.9, 0, 1)
+    is_tri1 = ly > lx
+    gid = tet * 2 + is_tri1.astype(np.int64)
+    pos_idx = np.searchsorted(gids, gid)
+    pos_idx_c = np.clip(pos_idx, 0, max(len(gids) - 1, 0))
+    hit = (len(gids) > 0) & (gids[pos_idx_c] == gid)
+    fsel = np.where(hit, pos_idx_c, 0)
+
+    # barycentrics: tri0 corners (0,0),(1,0),(1,1); tri1 (0,0),(1,1),(0,1)
+    l_b = np.where(is_tri1, lx, lx - ly)
+    l_c = np.where(is_tri1, ly - lx, ly)
+    l_a = 1.0 - l_b - l_c
+    v_tex = np.asarray((mesh.v_tex if mesh.v_tex is not None
+                        else mesh.v_pos)[0])
+    tri = v_tex[faces[fsel]] if len(gids) else np.zeros((H, W, 3, 3))
+    pos = (tri[..., 0, :] * l_a[..., None] + tri[..., 1, :] * l_b[..., None]
+           + tri[..., 2, :] * l_c[..., None])
+    tex = texture_fn(jnp.asarray(pos.reshape(1, -1, 3), jnp.float32))
+    tex = np.asarray(tex).reshape(H, W, -1)[..., :3]
+    tex = np.where(hit[..., None], tex, 0.0)
+    return np.clip(tex, 0, 1), map_uv_reference(gids, max_idx)[0]
+
+
 def bake_texture_atlas(mesh, texture_fn, atlas_res: int = 1024):
     """Bake `texture_fn(tex_pos (1,P,3)) → (1,P,C)` into an atlas image.
 
@@ -75,10 +141,17 @@ def bake_texture_atlas(mesh, texture_fn, atlas_res: int = 1024):
 
 
 def save_obj_with_mtl(path: str, mesh, texture_fn=None, atlas_res: int = 512,
-                      batch_index: int = 0):
+                      batch_index: int = 0, uv_layout: str = "dense",
+                      max_gidx: int | None = None):
     """Write `<path>.obj` + `.mtl` + baked `_kd.png` (reference layout:
     `obj.py:128-175`, `material.py:106-141`). Capacity padding is dropped
-    and vertex indices are remapped."""
+    and vertex indices are remapped.
+
+    uv_layout: "dense" (default) packs valid faces into a dense cell grid —
+    full use of the atlas; "reference" reproduces the reference's per-tet
+    `map_uv` tiling exactly (requires mesh.face_gidx + `max_gidx` = 2·n_tets;
+    at production grid resolutions cells are sub-pixel, exactly as in the
+    reference)."""
     v_valid = np.asarray(mesh.v_valid)
     f_valid = np.asarray(mesh.f_valid)
     verts = np.asarray(mesh.v_pos[min(batch_index,
@@ -93,8 +166,13 @@ def save_obj_with_mtl(path: str, mesh, texture_fn=None, atlas_res: int = 512,
     uv_lines = []
     mtl = texture_fn is not None
     if mtl:
-        atlas, uvs_all = bake_texture_atlas(mesh, texture_fn, atlas_res)
-        uvs = uvs_all[f_valid]                            # (Fv, 3, 2)
+        if uv_layout == "reference":
+            assert mesh.face_gidx is not None and max_gidx is not None
+            atlas, uvs = bake_texture_atlas_reference(
+                mesh, texture_fn, max_gidx, atlas_res)    # (Fv, 3, 2)
+        else:
+            atlas, uvs_all = bake_texture_atlas(mesh, texture_fn, atlas_res)
+            uvs = uvs_all[f_valid]                        # (Fv, 3, 2)
         from PIL import Image
         Image.fromarray((atlas * 255).astype(np.uint8)[::-1]) \
             .save(base + "_kd.png")

@@ -111,6 +111,8 @@ class Trainer:
         self._disc_step = None
         self._eval_step = None
         self._writer = None
+        self._fixed_val_batch = None
+        self._val_iter = None
 
     # ------------------------------------------------------------------
     def _logger(self):
@@ -144,38 +146,103 @@ class Trainer:
                         p = os.path.join(root, fn)
                         zf.write(p, os.path.relpath(p, os.path.dirname(pkg)))
 
-    def _log_visuals(self, writer, params, batch, total_iter):
-        """Image logging every log_image_freq (`Trainer.py:283-303` /
-        `AnimalModel.log_visuals`)."""
+    def _log_visuals(self, writer, params, batch, total_iter,
+                     prefix="train_"):
+        """Rich visual logging every log_image_freq (`Trainer.py:283-303` /
+        `AnimalModel.log_visuals`, `AnimalModel.py:517-636`)."""
         if writer is None:
             return
+        from animals3d_tpu.utils import visual_log
+        model = self.model
         phase = self.model.phase_for_iter(total_iter, is_training=False)
         if self._eval_step is None:
             self._eval_step = {}
         if phase.key not in self._eval_step:
-            model = self.model
 
             def eval_fn(params, batch, total_iter, rng, grid, _phase=phase):
                 _, (m, aux) = model.forward(params, batch, total_iter, rng,
                                             _phase, grid)
-                return aux
+                extra = None
+                if aux.get("mvp") is not None and \
+                        model.cfg_model.enable_render:
+                    h = w = model.out_image_size
+                    extra = model.render(
+                        params, ["geo_normal", "kd", "shading"],
+                        aux["shape"], aux["mvp"], aux["w2c"], aux["campos"],
+                        (h, w), im_features=aux["im_features"],
+                        light_params=aux["light_params"],
+                        prior_mesh=aux["prior_mesh"],
+                        num_frames=model.num_frames,
+                        class_vector=aux.get("class_vector"))
+                return aux, extra
             self._eval_step[phase.key] = jax.jit(eval_fn)
         grid, _, _ = self.model.grid_for_phase(phase)
         device_batch = meshlib.shard_batch(batch, self.mesh)
-        aux = self._eval_step[phase.key](params, device_batch, total_iter,
-                                         jax.random.PRNGKey(0), grid)
-        images = np.asarray(batch["images"][0, 0])
-        writer.add_image("train_image/input_image", images, total_iter)
-        if aux.get("image_pred") is not None:
-            writer.add_image("train_image/image_pred",
-                             np.clip(np.asarray(aux["image_pred"])[0, 0], 0, 1),
-                             total_iter)
-            writer.add_image("train_image/mask_pred",
-                             np.asarray(aux["mask_pred"])[0, 0][None],
-                             total_iter)
-        if aux.get("arti_params") is not None:
-            writer.add_histogram("train/articulation",
-                                 np.asarray(aux["arti_params"]), total_iter)
+        aux, extra = jax.device_get(
+            self._eval_step[phase.key](params, device_batch, total_iter,
+                                       jax.random.PRNGKey(0), grid))
+        visual_log.log_visuals(model, writer, batch, aux, extra, total_iter,
+                               prefix=prefix)
+        try:
+            vids = self._turntable_videos(params, aux)
+            visual_log.log_videos(writer, vids, total_iter, prefix=prefix)
+        except Exception as e:
+            print(f"turntable logging skipped: {e}")
+
+    def _turntable_videos(self, params, aux, num_frames=15):
+        """15-frame azimuth turntables of the posed and prior shapes
+        (`AnimalModel.render_rotation_frames`, `:665-701`)."""
+        from animals3d_tpu.visualization import orbit_cameras
+        model = self.model
+        if aux.get("mvp") is None:
+            return {}
+        if not hasattr(self, "_turn_step"):
+            h = w = model.out_image_size
+
+            def turn(params, shape, prior_mesh, mvp, w2c, campos, feats,
+                     light, class_vector, mode_idx):
+                renders = model.render(
+                    params, ["geo_normal", "shaded"], shape, mvp, w2c,
+                    campos, (h, w), im_features=feats, light_params=light,
+                    prior_mesh=prior_mesh, num_frames=1,
+                    class_vector=class_vector)
+                return jnp.where(mode_idx == 0,
+                                 renders["geo_normal"][:, :3],
+                                 renders["shaded"][:, :3])
+            self._turn_step = jax.jit(turn)
+
+        def to_dev(tree):
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+
+        shape = to_dev(aux["shape"])
+        prior = to_dev(aux["prior_mesh"])
+        mvp = jnp.asarray(aux["mvp"][:1])
+        w2c = jnp.asarray(aux["w2c"][:1])
+        campos = jnp.asarray(aux["campos"][:1])
+        feats = None if aux.get("im_features") is None else \
+            jnp.asarray(aux["im_features"][:1])
+        light = None if aux.get("light_params") is None else \
+            jnp.asarray(aux["light_params"][:1])
+        cvec = None if aux.get("class_vector") is None else \
+            jnp.asarray(aux["class_vector"])
+        shape1 = shape.first_n(1)
+
+        angles = np.linspace(0, 2 * np.pi, num_frames, endpoint=False)
+        vids = {"instance_normal_rotation": [],
+                "prior_image_rotation": [], "prior_normal_rotation": []}
+        for a in angles:
+            mvp_k, w2c_k, campos_k = orbit_cameras(mvp[0], w2c[0], campos[0],
+                                                   [float(a)])
+            vids["instance_normal_rotation"].append(np.asarray(
+                self._turn_step(params, shape1, prior, mvp_k, w2c_k,
+                                campos_k, feats, light, cvec, 0)[0]))
+            vids["prior_image_rotation"].append(np.asarray(
+                self._turn_step(params, prior, prior, mvp_k, w2c_k,
+                                campos_k, feats, light, cvec, 1)[0]))
+            vids["prior_normal_rotation"].append(np.asarray(
+                self._turn_step(params, prior, prior, mvp_k, w2c_k,
+                                campos_k, feats, light, cvec, 0)[0]))
+        return vids
 
     def _train_step_for(self, phase, optimizer):
         key = phase.key
@@ -312,7 +379,23 @@ class Trainer:
             if cfg.log_image_freq and total_iter % cfg.log_image_freq == 0 \
                     and self.cfg_model_enable_render():
                 try:
-                    self._log_visuals(writer, params, batch, total_iter)
+                    if cfg.log_train:
+                        self._log_visuals(writer, params, batch, total_iter)
+                    if cfg.log_val and val_loader is not None:
+                        # one val batch with eval behavior (`Trainer.py:291-303`)
+                        if self._val_iter is None:
+                            self._val_iter = iter(val_loader)
+                        try:
+                            val_batch = self._fixed_val_batch if \
+                                self._fixed_val_batch is not None else \
+                                next(self._val_iter)
+                        except StopIteration:
+                            self._val_iter = iter(val_loader)
+                            val_batch = next(self._val_iter)
+                        if cfg.fix_log_batch:
+                            self._fixed_val_batch = val_batch
+                        self._log_visuals(writer, params, val_batch,
+                                          total_iter, prefix="val_")
                 except Exception as e:   # logging must never kill training
                     print(f"log_visuals failed: {e}")
 

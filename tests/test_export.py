@@ -50,3 +50,60 @@ def test_obj_with_baked_texture(tmp_path):
     atlas = np.asarray(Image.open(base + "_kd.png"))
     assert atlas.shape == (128, 128, 3)
     assert atlas.std() > 1.0     # non-constant
+
+
+def test_map_uv_reference_parity():
+    """Our analytic map_uv vs a literal transcription of the reference
+    (`dmtet.py:69-98`) evaluated with torch."""
+    import torch
+
+    from animals3d_tpu.render.export import map_uv_reference
+
+    def ref_map_uv(face_gidx, max_idx):
+        N = int(np.ceil(np.sqrt((max_idx + 1) // 2)))
+        tex_y, tex_x = torch.meshgrid(
+            torch.linspace(0, 1 - (1 / N), N), torch.linspace(0, 1 - (1 / N), N),
+            indexing="ij")
+        pad = 0.9 / N
+        uvs = torch.stack([
+            tex_x, tex_y,
+            tex_x + pad, tex_y,
+            tex_x + pad, tex_y + pad,
+            tex_x, tex_y + pad], dim=-1).view(-1, 2)
+        tet_idx = torch.div(face_gidx, 2, rounding_mode="trunc")
+        x = tet_idx % N
+        y = torch.div(tet_idx, N, rounding_mode="trunc")
+        tet_idx = y * N + x
+        tri_idx = face_gidx % 2
+        uv_idx = torch.stack((tet_idx * 4, tet_idx * 4 + tri_idx + 1,
+                              tet_idx * 4 + tri_idx + 2), dim=-1).view(-1, 3)
+        return uvs[uv_idx]                       # (F, 3, 2) per-face triples
+
+    rng = np.random.default_rng(0)
+    max_idx = 2 * 900
+    gids = np.unique(rng.integers(0, max_idx, 64)).astype(np.int64)
+    ours, N = map_uv_reference(gids, max_idx)
+    want = ref_map_uv(torch.from_numpy(gids), max_idx).numpy()
+    assert N == int(np.ceil(np.sqrt((max_idx + 1) // 2)))
+    np.testing.assert_allclose(ours, want, atol=1e-6)
+
+
+def test_obj_export_reference_uv_layout(tmp_path):
+    """OBJ export with the reference per-tet atlas layout round-trips."""
+    from animals3d_tpu.render.export import load_obj, save_obj_with_mtl
+
+    mesh = _sphere_mesh()
+    from animals3d_tpu.geometry import tets as tetlib
+    grid = tetlib.load_tet_grid(8, data_dir="/tmp/tets_cache")
+    n_tets = grid.tets.shape[0]
+    tex = lambda tp: jnp.ones((*tp.shape[:-1], 9)) * 0.5
+    p = save_obj_with_mtl(str(tmp_path / "ref.obj"), mesh, texture_fn=tex,
+                          atlas_res=64, uv_layout="reference",
+                          max_gidx=2 * n_tets)
+    verts, faces, uvs, uv_idx = load_obj(p)
+    assert uvs is not None and uv_idx is not None
+    nv_valid = int(np.asarray(mesh.v_valid).sum())
+    nf_valid = int(np.asarray(mesh.f_valid).sum())
+    assert verts.shape[0] == nv_valid and faces.shape[0] == nf_valid
+    # all uvs inside [0, 1]
+    assert (uvs >= -1e-6).all() and (uvs <= 1 + 1e-6).all()
