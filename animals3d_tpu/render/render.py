@@ -56,6 +56,7 @@ def render_mesh(
     resolution: tuple[int, int],
     material_fn: Optional[Callable] = None,   # (tex_pos BHW3, feat) -> BHW9
     light_params: Optional[jax.Array] = None,  # (B, 5) dir+amb+diff
+    env_light: Optional[jax.Array] = None,     # (6, R, R, 3) cubemap (pbr)
     background: Optional[jax.Array] = None,    # (B, H, W, 3)
     spp: int = 1,
     msaa: bool = True,
@@ -142,7 +143,13 @@ def render_mesh(
         jnp.einsum("bij,bhwj->bhwi", w2c[:, :3, :3], gb_shading_normal))
 
     shading_buf = None
-    if light_params is not None:
+    if env_light is not None:
+        # pbr path: split-sum environment light on world-space normals
+        # (reference `shade`'s EnvironmentLight branch, `render.py:84-95`)
+        from animals3d_tpu.render.light import environment_shade
+        shaded_col = environment_shade(env_light, gb_pos, gb_shading_normal,
+                                       kd, ks, view_pos)
+    elif light_params is not None:
         shaded_col, shading_buf = directional_shade(light_params, kd, cam_normal)
     else:
         shaded_col = kd

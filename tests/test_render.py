@@ -140,3 +140,24 @@ def test_spp_msaa_low_res_shading():
     # coverage values strictly between 0 and 1 appear more often
     frac_pix = lambda m: ((m > 0.1) & (m < 0.9)).sum()
     assert frac_pix(a[3]) >= frac_pix(c[3])
+
+
+def test_env_light_render_path():
+    """End-to-end render with a trainable environment cubemap: gradients
+    reach the cubemap through the pbr shading branch."""
+    mesh, _ = _sphere_mesh()
+    mvp, w2c, campos = _camera()
+    env = jnp.ones((6, 16, 16, 3)) * jnp.asarray([0.6, 0.4, 0.2])
+
+    def loss(env):
+        out = render_mesh(mesh, mvp, w2c, campos, (32, 32), env_light=env,
+                          render_modes=("shaded",))
+        return jnp.sum(out["shaded"][:, :3] ** 2), out
+
+    (val, out), g = jax.value_and_grad(loss, has_aux=True)(env)
+    shaded = np.asarray(out["shaded"][0])
+    mask = shaded[3] > 0.5
+    # lit pixels carry the env color (kd = 1 -> diffuse = env color + spec)
+    assert shaded[0][mask].mean() > shaded[2][mask].mean()
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
