@@ -29,6 +29,7 @@ class ImageDataset:
         self.in_image_size = in_image_size
         self.out_image_size = out_image_size
         self.load_dino_feature = load_dino_feature
+        self.load_dino_cluster = load_dino_cluster
         self.dino_feature_dim = dino_feature_dim
         self.load_background = load_background
         self.random_xflip = random_xflip
@@ -58,6 +59,11 @@ class ImageDataset:
         if self.load_dino_feature:
             dino = util.dino_loader(stem + f"feat{self.dino_feature_dim}.png",
                                     self.dino_feature_dim)
+        clusters = None
+        if self.load_dino_cluster and os.path.isfile(stem + "clusters.png"):
+            # RGB cluster visualization, logging only
+            # (`ImageDataset.py:31-32`, `AnimalModel.py:535`)
+            clusters = util.load_image(stem + "clusters.png", size)
 
         sample = {
             "images": image[None],            # (F=1, 3, H, W)
@@ -68,7 +74,7 @@ class ImageDataset:
             "bboxs": box[None],
             "bg_images": None,
             "dino_features": None if dino is None else dino[None],
-            "dino_clusters": None,
+            "dino_clusters": None if clusters is None else clusters[None],
             "seq_idx": np.int32(index),
             "frame_idx": np.zeros((1,), np.int32),
         }

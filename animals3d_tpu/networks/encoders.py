@@ -16,9 +16,11 @@ from animals3d_tpu.networks.mlp import get_activation
 
 
 def _conv(features, kernel, stride, padding, use_bias=False, name=None):
+    from animals3d_tpu.precision import compute_dtype
     return nn.Conv(features, (kernel, kernel), (stride, stride),
                    padding=[(padding, padding), (padding, padding)],
-                   use_bias=use_bias, name=name,
+                   use_bias=use_bias, name=name, dtype=compute_dtype(),
+                   param_dtype=jnp.float32,
                    kernel_init=nn.initializers.variance_scaling(
                        1 / 3, "fan_in", "uniform"))  # ~torch conv default
 

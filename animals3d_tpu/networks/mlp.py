@@ -45,7 +45,9 @@ def _torch_bias_init(fan_in):
 
 def dense(features: int, use_bias: bool, name: str | None = None,
           fan_in: int | None = None) -> nn.Dense:
+    from animals3d_tpu.precision import compute_dtype
     return nn.Dense(features, use_bias=use_bias, name=name,
+                    dtype=compute_dtype(), param_dtype=jnp.float32,
                     kernel_init=torch_linear_init,
                     bias_init=_torch_bias_init(fan_in) if fan_in else nn.initializers.zeros_init())
 
@@ -67,23 +69,56 @@ def harmonic_embedding(x: jax.Array, n_harmonic_functions: int = 10,
     return jnp.concatenate([jnp.sin(embed), jnp.cos(embed)], -1)
 
 
+class _SplitFirstDense(nn.Module):
+    """Bias-free dense over a (pixel ⊕ broadcast-feature) concat, computed
+    as W_pix @ x + W_feat @ feat without materializing the concat.
+
+    W @ concat(x, feat_b) ≡ W[:dx] @ x + W[dx:] @ feat; the feature half is
+    one (B, nf) matmul per *image* instead of a per-pixel 256-wide broadcast
+    concat (≈1.3 GB of HBM traffic per 256²×10 render). Param layout is
+    identical to the fused nn.Dense ("kernel" of shape (dx+df, out)), so
+    checkpoints and the .pth converter are unaffected.
+    """
+    features: int
+
+    @nn.compact
+    def __call__(self, x, feat):
+        from animals3d_tpu.precision import compute_dtype
+        dx, df = x.shape[-1], feat.shape[-1]
+        W = self.param("kernel", torch_linear_init, (dx + df, self.features))
+        cd = compute_dtype()
+        W = W.astype(cd)
+        pix = jnp.dot(x.astype(cd), W[:dx], preferred_element_type=cd)
+        per_img = jnp.dot(feat.astype(cd), W[dx:], preferred_element_type=cd)
+        per_img = per_img.reshape(feat.shape[0],
+                                  *([1] * (x.ndim - 2)), self.features)
+        return pix + per_img
+
+
 class MLP(nn.Module):
-    """Bias-free Linear/ReLU stack with optional output activation."""
+    """Bias-free Linear/ReLU stack with optional output activation.
+
+    `split_feat`, if given, is a per-image (B, df) feature that the caller
+    would otherwise broadcast-concatenate onto x before layer_0; it is folded
+    in via `_SplitFirstDense` (identical math and param layout)."""
     cout: int
     num_layers: int
     nf: int = 256
     activation: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x):
-        if self.num_layers == 1:
-            x = dense(self.cout, False, name="layer_0")(x)
+    def __call__(self, x, split_feat=None):
+        first_out = self.cout if self.num_layers == 1 else self.nf
+        if split_feat is not None:
+            x = _SplitFirstDense(first_out, name="layer_0")(x, split_feat)
         else:
-            x = dense(self.nf, False, name="layer_0")(x)
-            for i in range(1, self.num_layers - 1):
-                x = dense(self.nf, False, name=f"layer_{i}")(jax.nn.relu(x))
+            x = dense(first_out, False, name="layer_0")(x)
+        for i in range(1, self.num_layers - 1):
+            x = dense(self.nf, False, name=f"layer_{i}")(jax.nn.relu(x))
+        if self.num_layers > 1:
             x = dense(self.cout, False, name=f"layer_{self.num_layers - 1}")(jax.nn.relu(x))
-        return get_activation(self.activation)(x)
+        # back to fp32 at the network boundary (precision.py)
+        return get_activation(self.activation)(x.astype(jnp.float32))
 
 
 def _symmetrize_x(x):
@@ -129,15 +164,15 @@ class CoordMLP(nn.Module):
         x_in = dense(self.nf, True, name="in_layer", fan_in=dim_in)(x_in)
         if self.in_layer_relu:
             x_in = jax.nn.relu(x_in)
+        split_feat = None
         if feat is not None:
             assert feat.shape[-1] == self.extra_feat_dim
-            feat_b = jnp.broadcast_to(
-                feat.reshape(feat.shape[0], *([1] * (x_in.ndim - 2)), -1),
-                (*x_in.shape[:-1], feat.shape[-1]))
-            x_in = jnp.concatenate([x_in, feat_b], -1)
+            # relu(concat(x, feat)) = concat(relu(x), relu(feat)): the
+            # broadcast concat is folded into layer_0 (see _SplitFirstDense)
+            split_feat = jax.nn.relu(feat.reshape(feat.shape[0], -1))
         out = MLP(self.cout, self.num_layers, self.nf, self.activation,
-                  name="mlp")(jax.nn.relu(x_in))
-        return _apply_min_max(out, self.min_max)
+                  name="mlp")(jax.nn.relu(x_in), split_feat=split_feat)
+        return _apply_min_max(out.astype(jnp.float32), self.min_max)
 
     # reference alias (`MLPs.py:100-101`)
     sample = __call__
@@ -211,6 +246,6 @@ class CoordMLPMod(nn.Module):
         style = MLP(self.nf, 2, self.nf, None, name="style_mlp")(feat)
         out = MLPMod(self.cout, self.num_layers, self.nf, self.activation,
                      name="mlp")(x_in, style)
-        return _apply_min_max(out, self.min_max)
+        return _apply_min_max(out.astype(jnp.float32), self.min_max)
 
     sample = __call__

@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from animals3d_tpu.precision import compute_dtype
+
 # ImageNet normalization DINO models expect
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -39,15 +41,19 @@ class ViTSelfAttention(nn.Module):
         B, N, C = x.shape
         H = self.num_heads
         hd = C // H
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        cd = compute_dtype()
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=cd,
+                       name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)  # 3,B,H,N,hd
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = (q @ k.transpose(0, 1, 3, 2)) * (hd ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = (q @ k.transpose(0, 1, 3, 2)) * jnp.asarray(hd ** -0.5, cd)
+        # softmax in fp32 (torch autocast keeps softmax fp32)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(cd)
         out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, C)
-        out = nn.Dense(C, name="proj")(out)
+        out = nn.Dense(C, dtype=cd, name="proj")(out)
         if return_qkv:
-            return out, (q, k, v)
+            return out, (q.astype(jnp.float32), k.astype(jnp.float32),
+                         v.astype(jnp.float32))
         return out
 
 
@@ -65,12 +71,13 @@ class ViTBlock(nn.Module):
         else:
             a = ViTSelfAttention(self.dim, self.num_heads, name="attn")(h)
             qkv = None
-        x = x + a
+        x = x + a.astype(jnp.float32)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h)
+        cd = compute_dtype()
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=cd, name="fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="fc2")(h)
-        x = x + h
+        h = nn.Dense(self.dim, dtype=cd, name="fc2")(h)
+        x = x + h.astype(jnp.float32)
         if return_qkv:
             return x, qkv
         return x

@@ -65,10 +65,11 @@ def _face_coeffs(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     sy = (ndc[..., 1] + 1.0) * (0.5 * height)
     z = ndc[..., 2]
 
-    fx = sx[faces]   # (F, 3)
-    fy = sy[faces]
-    fz = z[faces]
-    fw = w[faces]
+    # ONE packed row gather instead of four: TPU gather cost is per-row
+    # (descriptor-bound), so (F,3) rows × 4ch beats 4 × (F,3) rows × 1ch
+    packed = jnp.stack([sx, sy, z, w], -1)            # (V, 4)
+    fp_ = packed[faces]                               # (F, 3, 4)
+    fx, fy, fz, fw = fp_[..., 0], fp_[..., 1], fp_[..., 2], fp_[..., 3]
 
     x0, x1, x2 = fx[:, 0], fx[:, 1], fx[:, 2]
     y0, y1, y2 = fy[:, 0], fy[:, 1], fy[:, 2]
@@ -97,7 +98,7 @@ def _face_coeffs(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     A = jnp.concatenate([e, zrow[:, :, None]], -1)          # (F, 3, 4)
     A = jnp.where(ok[:, None, None], A, 0.0)
     # scale edge rows so coverage test is scale-free; keep z row exact
-    return A, ok, fw, det
+    return A, ok, fw, det, fx, fy
 
 
 def rasterize(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
@@ -127,7 +128,7 @@ def rasterize(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     P = jnp.stack([px.ravel(), py.ravel(), jnp.ones(height * width)], -1)
 
     def raster_one_global(vc):
-        A, ok, _, _ = _face_coeffs(vc, faces_p, f_valid_p, height, width)
+        A, ok, _, _, _, _ = _face_coeffs(vc, faces_p, f_valid_p, height, width)
         A_chunks = A.reshape(Fp // chunk, chunk, 3, 4)
         ok_chunks = ok.reshape(Fp // chunk, chunk)
         base = jnp.arange(Fp // chunk, dtype=jnp.int32) * chunk
@@ -218,3 +219,135 @@ def interpolate(attr: jax.Array, rast: Rast, faces: jax.Array) -> jax.Array:
         return jnp.where((fid_b > 0)[..., None], out, 0.0)
 
     return jax.vmap(one)(attr, tri, rast.uv, rast.face_id)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-segment-sum backward for interpolate — an ALTERNATIVE to autodiff,
+# kept for future tuning but NOT the default.
+#
+# The autodiff transpose of the per-pixel `attr[tri]` gather is an XLA
+# scatter-add with H·W·3 colliding update rows per image. This custom VJP
+# replaces it with sort + segmented scan + one unique-index `.set`. Measured
+# on v5e at 256²×10 (B=10, V=98k): fwd+bwd 203 ms vs 198 ms autodiff — a
+# wash at these shapes (XLA's TPU scatter-add is sort-based internally) —
+# while compiling ~5x slower. Grad parity is tested; revisit if scatter
+# shapes change (e.g. much larger V or A).
+# ---------------------------------------------------------------------------
+
+def _segment_sum_sorted(keys: jax.Array, vals: jax.Array,
+                        num_segments: int) -> jax.Array:
+    """Σ vals over rows with equal keys → (num_segments, A).
+
+    keys: (M,) int32 (any order), vals: (M, A). Sort, then a *segmented*
+    Hillis–Steele inclusive scan (adds at distance 2^s only when the key at
+    that distance matches — exact for sorted keys, and unlike a global
+    cumsum it never mixes segments, so there is no catastrophic cancellation
+    from large-magnitude neighbors). Segment totals land at segment-end rows
+    and are emitted with one unique-index `.set` scatter (non-end rows dump
+    out of range, mode='drop') — no colliding scatter-add anywhere."""
+    M = keys.shape[0]
+    A = vals.shape[-1]
+    perm = jnp.argsort(keys)
+    keys_s = keys[perm]
+    acc = jnp.take_along_axis(vals, perm[:, None], 0)
+
+    step = 1
+    while step < M:
+        same = keys_s[step:] == keys_s[:-step]
+        shifted = acc[:-step]
+        add = jnp.where(same[:, None], shifted, 0.0)
+        acc = jnp.concatenate([acc[:step], acc[step:] + add], 0)
+        step *= 2
+
+    is_end = jnp.concatenate(
+        [keys_s[:-1] != keys_s[1:], jnp.ones((1,), bool)])
+    end_idx = jnp.where(is_end, keys_s, num_segments)   # OOB → dropped
+    return jnp.zeros((num_segments, A), vals.dtype).at[end_idx] \
+        .set(acc, mode="drop", unique_indices=True)
+
+
+@jax.custom_vjp
+def _interpolate_cv(attr, uv, face_id, faces):
+    sel = jnp.maximum(face_id - 1, 0)
+    tri = faces[sel]
+
+    def one(attr_b, tri_b, uv_b, fid_b):
+        av = attr_b[tri_b]
+        u = uv_b[..., 0:1]
+        v = uv_b[..., 1:2]
+        out = av[..., 0, :] * (1.0 - u - v) + av[..., 1, :] * u \
+            + av[..., 2, :] * v
+        return jnp.where((fid_b > 0)[..., None], out, 0.0)
+
+    return jax.vmap(one)(attr, tri, uv, face_id)
+
+
+def _interp_fwd(attr, uv, face_id, faces):
+    return _interpolate_cv(attr, uv, face_id, faces), (attr, uv, face_id,
+                                                       faces)
+
+
+def _interp_bwd(res, g):
+    attr, uv, face_id, faces = res
+    B, V, A = attr.shape
+    sel = jnp.maximum(face_id - 1, 0)
+    tri = faces[sel]                                    # (B, H, W, 3)
+    fg_mask = (face_id > 0)[..., None]
+    g = jnp.where(fg_mask, g, 0.0)
+
+    def one(attr_b, tri_b, uv_b, g_b):
+        av = attr_b[tri_b]                              # (H, W, 3, A)
+        u = uv_b[..., 0:1]
+        v = uv_b[..., 1:2]
+        # d_uv via the same per-pixel gather as the forward
+        du = jnp.sum(g_b * (av[..., 1, :] - av[..., 0, :]), -1)
+        dv = jnp.sum(g_b * (av[..., 2, :] - av[..., 0, :]), -1)
+        d_uv = jnp.stack([du, dv], -1)
+        # d_attr via sorted segment sum over (pixel, corner) rows
+        w = jnp.concatenate([1.0 - u - v, u, v], -1)    # (H, W, 3)
+        vals = (w[..., None] * g_b[..., None, :]).reshape(-1, A)
+        keys = tri_b.reshape(-1)
+        d_attr = _segment_sum_sorted(keys, vals, V)
+        return d_attr, d_uv
+
+    d_attr, d_uv = jax.vmap(one)(attr, tri, uv, g)
+    return d_attr, d_uv, None, None
+
+
+_interpolate_cv.defvjp(_interp_fwd, _interp_bwd)
+
+
+def interpolate_sorted_bwd(attr: jax.Array, rast: Rast,
+                           faces: jax.Array) -> jax.Array:
+    """`interpolate` with the sorted-segment-sum backward (same forward)."""
+    if attr.ndim == 2:
+        attr = attr[None].repeat(rast.face_id.shape[0], 0)
+    return _interpolate_cv(attr, rast.uv,
+                           lax.stop_gradient(rast.face_id), faces)
+
+
+@jax.custom_vjp
+def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched row gather (B, N, C) × (B, ..., ) int32 → (B, ..., C) whose
+    transpose is the sorted-segment-sum instead of XLA's colliding
+    scatter-add (see `_segment_sum_sorted`)."""
+    def one(t, i):
+        return t[i]
+    return jax.vmap(one)(table, idx)
+
+
+def _gather_rows_fwd(table, idx):
+    return gather_rows(table, idx), (idx, table.shape)
+
+
+def _gather_rows_bwd(res, g):
+    idx, (B, N, C) = res
+
+    def one(i_b, g_b):
+        return _segment_sum_sorted(i_b.reshape(-1),
+                                   g_b.reshape(-1, C), N)
+
+    return jax.vmap(one)(idx, g), None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)

@@ -4,16 +4,23 @@ The XLA formulation in `ops.rasterize` scans face chunks and materializes a
 (pixels, chunk, 4) edge/depth tensor in HBM every step: measured 30.9 s per
 256² batch-10 render at 200k face capacity (≈4 TB of HBM traffic). This
 kernel blocks the computation flash-attention-style — a pixel tile and a
-face chunk meet in VMEM, and a running (z, id) argmin accumulates in the
-revisited output block — and *culls* non-interacting (tile, chunk) pairs:
+face chunk meet in VMEM — and *culls* non-interacting (tile, chunk) pairs.
 
-  * pixels are processed as 2-D screen tiles (32×32);
-  * each face chunk carries a screen-space bounding box (prefix-compacted
-    faces come out of marching tets in grid order, so chunks are spatially
-    coherent); boxes ride in SMEM via scalar prefetch and the kernel body is
-    predicated on tile↔box overlap. Capacity padding has an empty box, so
-    padded chunks never run;
-  * the remaining work is 4 small (TP,3)@(3,C) matmuls + VPU coverage/argmin.
+v1 ran a (B, tiles, chunks) grid with the chunk as a grid dimension and a
+`@pl.when(overlap)` guard. That predicates the *compute* but not the block
+DMA: all B·T·C steps still copied their 48 KB coefficient block into VMEM
+(123k steps at grid 128 capacity → ~190 ms of pure DMA/step overhead for a
+mesh where only ~2% of pairs interact).
+
+v2 (this file) makes the chunk loop *internal*:
+
+  * per (image, tile), the overlapping chunk ids are prefix-compacted in XLA
+    (a 192-element argsort) and scalar-prefetched into SMEM;
+  * the grid is just (B, tiles); the kernel walks its own active-chunk list
+    with double-buffered manual `make_async_copy` DMAs from the HBM-resident
+    coefficient tensor — culled chunks cost nothing at all;
+  * the remaining work is 4 small (TP,3)@(3,C) matmuls + VPU coverage/argmin
+    per *active* pair.
 
 Output and barycentric/interp/antialias semantics are identical to
 `ops.rasterize.rasterize` (parity-tested in interpret mode).
@@ -35,43 +42,69 @@ _BIG = 3.0e38
 TILE = 32          # pixel tile edge (TILE*TILE = one kernel pixel block)
 
 
-def _raster_kernel(bbox_ref, pix_ref, coef_ref, z_ref, id_ref, *,
-                   chunk: int, ntx: int):
+def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
+                   abuf, sem, *, chunk: int, kmax: int, nch: int):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    j = pl.program_id(2)
 
-    @pl.when(j == 0)
+    z_ref[...] = jnp.full_like(z_ref, _BIG)
+    id_ref[...] = jnp.zeros_like(id_ref)
+
+    # per-tile chunk lists are capped at kmax (SMEM budget); a tile that
+    # overlaps more chunks falls back to scanning all of them
+    n_raw = cnt_ref[b, i]
+    use_ids = n_raw <= kmax
+    n = jnp.where(use_ids, n_raw, nch)
+
+    def cid_of(k):
+        return jnp.where(use_ids,
+                         ids_ref[b, i, jnp.minimum(k, kmax - 1)], k)
+
+    def dma(slot, k):
+        cid = cid_of(k)
+        return pltpu.make_async_copy(
+            A_hbm.at[b, :, :, pl.ds(cid * chunk, chunk)],
+            abuf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n > 0)
     def _():
-        z_ref[...] = jnp.full_like(z_ref, _BIG)
-        id_ref[...] = jnp.zeros_like(id_ref)
+        dma(0, 0).start()
 
-    ty = i // ntx
-    tx = i % ntx
-    x0 = (tx * TILE).astype(jnp.float32)
-    y0 = (ty * TILE).astype(jnp.float32)
-    # bbox is flattened to (B, nchunks*4): SMEM pads the last dim to 128
-    # lanes, so a trailing size-4 dim would 32x the footprint
-    overlap = ((bbox_ref[b, 4 * j + 0] < x0 + TILE) &
-               (bbox_ref[b, 4 * j + 2] >= x0) &
-               (bbox_ref[b, 4 * j + 1] < y0 + TILE) &
-               (bbox_ref[b, 4 * j + 3] >= y0))
+    P = pix_ref[0]                                    # (TP, 3)
 
-    @pl.when(overlap)
-    def _():
-        P = pix_ref[0]                                # (TP, 3)
-        A = coef_ref[0]                               # (3, 4, C)
-        e0 = jnp.dot(P, A[:, 0], preferred_element_type=jnp.float32)
-        e1 = jnp.dot(P, A[:, 1], preferred_element_type=jnp.float32)
-        e2 = jnp.dot(P, A[:, 2], preferred_element_type=jnp.float32)
-        zz = jnp.dot(P, A[:, 3], preferred_element_type=jnp.float32)
+    def body(k, carry):
+        z_run, id_run = carry
+        slot = k % 2
+
+        @pl.when(k + 1 < n)
+        def _():
+            dma((k + 1) % 2, k + 1).start()
+
+        dma(slot, k).wait()
+        A = abuf[slot]                                # (3, 4, chunk)
+        cid = cid_of(k)
+        E = jnp.dot(P, A.reshape(3, 4 * chunk),
+                    preferred_element_type=jnp.float32)
+        e0 = E[:, 0 * chunk:1 * chunk]
+        e1 = E[:, 1 * chunk:2 * chunk]
+        e2 = E[:, 2 * chunk:3 * chunk]
+        zz = E[:, 3 * chunk:4 * chunk]
         cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
         zc = jnp.where(cov, zz, _BIG)                 # (TP, C)
         local = jnp.argmin(zc, axis=1, keepdims=True).astype(jnp.int32)
         local_z = jnp.min(zc, axis=1, keepdims=True)  # (TP, 1)
-        take = local_z < z_ref[0]
-        z_ref[0] = jnp.where(take, local_z, z_ref[0])
-        id_ref[0] = jnp.where(take, j * chunk + local + 1, id_ref[0])
+        take = local_z < z_run
+        new_z = jnp.where(take, local_z, z_run)
+        new_id = jnp.where(take, cid * chunk + local + 1, id_run)
+        return new_z, new_id
+
+    z0 = jnp.full((TILE * TILE, 1), _BIG, jnp.float32)
+    id0 = jnp.zeros((TILE * TILE, 1), jnp.int32)
+    z_fin, id_fin = jax.lax.fori_loop(0, n, body, (z0, id0))
+    z_ref[0] = z_fin
+    id_ref[0] = id_fin
 
 
 def _tile_pixels(height: int, width: int):
@@ -105,14 +138,10 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     n_pix = height * width
 
     def coeffs_one(vc):
-        A, ok, _, _ = _face_coeffs(vc, faces, f_valid, height, width)
+        A, ok, _, _, sx, sy = _face_coeffs(vc, faces, f_valid, height, width)
         # invalid faces: edge constant −1 → never covered; empty bbox
         A = jnp.where(ok[:, None, None], A,
                       jnp.asarray([0.0, 0.0, -1.0])[None, :, None])
-        w = vc[..., 3]
-        sw = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
-        sx = ((vc[..., 0] / sw + 1.0) * (0.5 * width))[faces]     # (F, 3)
-        sy = ((vc[..., 1] / sw + 1.0) * (0.5 * height))[faces]
         lo_x = jnp.where(ok, sx.min(-1), _BIG)
         lo_y = jnp.where(ok, sy.min(-1), _BIG)
         hi_x = jnp.where(ok, sx.max(-1), -_BIG)
@@ -127,41 +156,61 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
             .at[..., :2].set(_BIG).at[..., 2:].set(-_BIG)
         fbox = jnp.concatenate([fbox, padB], 1)
     A = A.transpose(0, 2, 3, 1)                      # (B, 3, 4, Fp)
-    cb = fbox.reshape(B, Fp // chunk, chunk, 4)
+    nch = Fp // chunk
+    cb = fbox.reshape(B, nch, chunk, 4)
     bbox = jnp.concatenate([cb[..., :2].min(2), cb[..., 2:].max(2)], -1)
-    bbox = bbox.reshape(B, -1)                       # (B, nchunks*4)
 
     P, nty, ntx = _tile_pixels(height, width)
+    T = nty * ntx
 
-    grid = (B, nty * ntx, Fp // chunk)
+    # ---- per-(image, tile) active-chunk compaction (XLA, tiny) ------------
+    tids = jnp.arange(T, dtype=jnp.int32)
+    tx0 = ((tids % ntx) * TILE).astype(jnp.float32)   # (T,)
+    ty0 = ((tids // ntx) * TILE).astype(jnp.float32)
+    overlap = ((bbox[:, None, :, 0] < tx0[None, :, None] + TILE) &
+               (bbox[:, None, :, 2] >= tx0[None, :, None]) &
+               (bbox[:, None, :, 1] < ty0[None, :, None] + TILE) &
+               (bbox[:, None, :, 3] >= ty0[None, :, None]))    # (B, T, nch)
+    # SMEM budget: ids (B, T, kmax) i32 well under the ~1 MB SMEM limit;
+    # beyond-kmax tiles fall back to a full chunk scan
+    kmax = min(nch, 192)
+    order = jnp.argsort(~overlap, axis=-1, stable=True).astype(jnp.int32)
+    order = order[..., :kmax]
+    counts = overlap.sum(-1).astype(jnp.int32)                 # (B, T)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
+        num_scalar_prefetch=2,       # chunk-id lists + counts
+        grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, TILE * TILE, 3), lambda b, i, j, bx: (i, 0, 0),
+            pl.BlockSpec((1, TILE * TILE, 3),
+                         lambda b, i, ids, cnt: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, 4, chunk), lambda b, i, j, bx: (b, 0, 0, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),    # A stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE * TILE, 1), lambda b, i, j, bx: (b, i, 0),
+            pl.BlockSpec((1, TILE * TILE, 1),
+                         lambda b, i, ids, cnt: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE * TILE, 1), lambda b, i, j, bx: (b, i, 0),
+            pl.BlockSpec((1, TILE * TILE, 1),
+                         lambda b, i, ids, cnt: (b, i, 0),
                          memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, 4, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     z, fid = pl.pallas_call(
-        functools.partial(_raster_kernel, chunk=chunk, ntx=ntx),
+        functools.partial(_raster_kernel, chunk=chunk, kmax=kmax, nch=nch),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, n_pix, 1), jnp.float32),
                    jax.ShapeDtypeStruct((B, n_pix, 1), jnp.int32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * n_pix * Fp * 12,
-            bytes_accessed=B * (n_pix // (TILE * TILE)) * Fp * 16
-            + B * n_pix * 8,
+            flops=2 * B * n_pix * Fp * 12 // 8,
+            bytes_accessed=B * T * 48 * chunk + B * n_pix * 8,
             transcendentals=0),
-    )(bbox, P, A)
+    )(order, counts, P, A)
 
     z = _untile(z, B, nty, ntx)
     fid = _untile(fid, B, nty, ntx)

@@ -102,6 +102,8 @@ class Trainer:
         self.cfg_full = cfg
         self.cfg = cfglib.bind(TrainerConfig, cfg)
         self.model = model
+        from animals3d_tpu.precision import set_mixed_precision
+        set_mixed_precision(self.cfg.mixed_precision)
         ds_cfg = dict(cfg.get("dataset") or {})
         ds_cfg.pop("path", None)
         self.cfg_dataset = cfglib.bind(DataLoaderConfig, ds_cfg)

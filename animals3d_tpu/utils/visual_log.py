@@ -127,6 +127,8 @@ def log_visuals(model, writer, batch, aux, extra, total_iter,
         log_image("dino_feat_im_gt", dino_gt[:, :, :3])
     if dino_pred is not None:
         log_image("dino_feat_im_pred", dino_pred[:, :, :3])
+    if batch.get("dino_clusters") is not None:
+        log_image("dino_cluster_im_gt", np.asarray(batch["dino_clusters"]))
 
     flow_gt, flow_pred = get("flow_gt"), get("flow_pred")
     if flow_gt is not None and F > 1:

@@ -111,7 +111,8 @@ class Visualizer:
             prior_mesh=prior_mesh, use_dino=False, num_frames=1,
             class_vector=class_vector, spp=int(self.cfg.get("spp", 4)))
 
-    # -- texture finetuning (`visualize_results.py:144-190`) ----------------
+    # -- texture finetuning (`visualize_results.py:144-190`;
+    #    fauna hand-rolled variant `visualize_results_fauna.py:150-207`) ----
     def finetune(self, params, batch, total_iter=10 ** 9):
         import optax
         model = self.model
@@ -121,10 +122,23 @@ class Visualizer:
         opt = optax.adam(self.finetune_lr)
         tex_params = params["netInstance"]["netTexture"]
         opt_state = opt.init(tex_params)
+        fauna_style = type(model).__name__ == "Fauna" or \
+            self.cfg.get("fauna_finetune_loss", False)
 
         def loss_fn(tex_p):
             p = {**params, "netInstance": {**params["netInstance"],
                                            "netTexture": tex_p}}
+            if fauna_style:
+                # fauna viz finetune: plain unmasked L1 on the input view,
+                # eval-phase nets (`visualize_results_fauna.py:195-203`)
+                eval_phase = phase._replace(is_training=False)
+                _, (_m, aux) = model.forward(p, batch, total_iter,
+                                             jax.random.PRNGKey(0),
+                                             eval_phase, grid)
+                img_gt = batch["images"].reshape(
+                    -1, *batch["images"].shape[2:])
+                img_pred = aux["image_pred"].reshape(*img_gt.shape)
+                return jnp.mean(jnp.abs(img_pred - img_gt))
             loss, _ = model.forward(p, batch, total_iter,
                                     jax.random.PRNGKey(0), phase, grid)
             return loss

@@ -54,6 +54,8 @@ def main():
         batch, iters, warmup = 10, 20, 3
 
     cfg = cfglib.load_config("train_magicpony_horse", overrides=overrides)
+    from animals3d_tpu.precision import set_mixed_precision
+    set_mixed_precision(cfg.get("mixed_precision"))   # bf16 per base.yaml
     model_cfg = dict(cfg["model"])
     model_cfg["dataset"] = cfg["dataset"]
     model = build_model(model_cfg)
