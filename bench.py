@@ -86,25 +86,32 @@ def main():
             params, ["shaded"], shape, mvp, w2c, campos, (H, H),
             im_features=im_features, light_params=light_params,
             prior_mesh=prior_mesh, num_frames=F)
-        return renders["shaded"]
+        # scalar checksum: forces the full render while keeping the timed
+        # loop to ONE dispatch per iteration (a separate jnp.sum dispatch
+        # costs an extra ~31 ms tunnel roundtrip)
+        return jnp.sum(renders["shaded"])
 
     recon_jit = jax.jit(recon)
     # fresh inputs per call + forced device reads: repeated identical calls
     # can be served from result caches in the remote-execution stack and
-    # produce fantasy numbers
-    fresh = [jnp.asarray(r.uniform(0, 1, (batch, F, 3, H, H))
-                         .astype(np.float32)) for _ in range(4)]
+    # produce fantasy numbers. The distinct buffers are staged on device
+    # BEFORE timing: through the axon tunnel a synchronous 8 MB H2D costs
+    # ~250 ms and would swamp the chip time being measured (real pipelines
+    # overlap host transfers with compute).
+    fresh = [jax.device_put(r.uniform(0, 1, (batch, F, 3, H, H))
+                            .astype(np.float32)) for _ in range(8)]
+    for x in fresh:
+        jax.block_until_ready(x)
     t0 = time.time()
-    out = recon_jit(params, images, rng, grid)
-    _ = float(jnp.sum(out))
+    _ = float(recon_jit(params, images, rng, grid))
     compile_s = time.time() - t0
     for i in range(warmup):
-        _ = float(jnp.sum(recon_jit(params, fresh[i % 4],
-                                    jax.random.PRNGKey(100 + i), grid)))
+        _ = float(recon_jit(params, fresh[i % 8],
+                            jax.random.PRNGKey(100 + i), grid))
     t0 = time.time()
     for i in range(iters):
-        _ = float(jnp.sum(recon_jit(params, fresh[i % 4],
-                                    jax.random.PRNGKey(i), grid)))
+        _ = float(recon_jit(params, fresh[i % 8],
+                            jax.random.PRNGKey(i), grid))
     dt = time.time() - t0
     imgs_per_sec = batch * F * iters / dt
 
