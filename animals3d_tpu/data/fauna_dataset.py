@@ -25,7 +25,8 @@ from animals3d_tpu.data.image_dataset import ImageDataset, xflip_sample
 class FaunaDataset:
     def __init__(self, root, batch_size=6, num_frames=1, in_image_size=256,
                  out_image_size=256, load_background=False, random_xflip=False,
-                 load_dino_feature=False, dino_feature_dim=64,
+                 load_dino_feature=False, load_dino_cluster=False,
+                 dino_feature_dim=64,
                  dataset_split_num=-1, shuffle=True, **_):
         self.batch_size = batch_size
         self.in_image_size = in_image_size
@@ -59,6 +60,7 @@ class FaunaDataset:
         self._image_ds.in_image_size = in_image_size
         self._image_ds.out_image_size = out_image_size
         self._image_ds.load_dino_feature = load_dino_feature
+        self._image_ds.load_dino_cluster = load_dino_cluster
         self._image_ds.dino_feature_dim = dino_feature_dim
         self._image_ds.load_background = load_background
         self._image_ds.random_xflip = False

@@ -142,6 +142,7 @@ def _build_dataset(cfg: DataLoaderConfig, data_dir: str, is_train: bool):
         from animals3d_tpu.data.fauna_dataset import FaunaDataset
         return FaunaDataset(data_dir, batch_size=cfg.batch_size,
                             num_frames=cfg.num_frames,
+                            load_dino_cluster=cfg.load_dino_cluster,
                             dataset_split_num=cfg.dataset_split_num, **common)
     raise NotImplementedError(cfg.data_type)
 

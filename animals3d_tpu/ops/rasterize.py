@@ -199,6 +199,64 @@ def compute_barycentrics(v_clip: jax.Array, faces: jax.Array,
     return jnp.where((fid > 0)[..., None], uv, 0.0)
 
 
+def resolve(attr: jax.Array, rast: Rast, v_clip: jax.Array,
+            faces: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Fused barycentrics + attribute interpolation (one per-pixel gather).
+
+    Equivalent to `compute_barycentrics` followed by `interpolate`, but the
+    clip-space positions and the attributes are packed into ONE per-vertex
+    table so the (B, H, W, 3)-row pixel gather happens once. TPU gathers are
+    descriptor-bound (~16 ns/row regardless of row width), so one wide
+    gather replaces the two narrow ones — and autodiff produces one merged
+    scatter-add in the backward pass instead of two.
+
+    attr: (B, V, A) or (V, A) shared. Returns (uv (B,H,W,2), out (B,H,W,A)),
+    both 0 on background. Differentiable w.r.t. v_clip and attr; the face
+    assignment is fixed (stop-grad), like nvdiffrast.
+    """
+    B, H, W = rast.face_id.shape
+    if attr.ndim == 2:
+        attr = jnp.broadcast_to(attr[None], (B, *attr.shape))
+    nA = attr.shape[-1]
+    fid = lax.stop_gradient(rast.face_id)
+    sel = jnp.maximum(fid - 1, 0)                       # (B, H, W)
+    tri = faces[sel]                                    # (B, H, W, 3)
+    pv = jnp.concatenate([v_clip, attr.astype(v_clip.dtype)], -1)
+
+    def one(pv_b, tri_b):
+        av = pv_b[tri_b]                                # (H, W, 3, 4+A)
+        vv = av[..., :4]
+        w = vv[..., 3]
+        safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+        sx = (vv[..., 0] / safe_w + 1.0) * (0.5 * W)
+        sy = (vv[..., 1] / safe_w + 1.0) * (0.5 * H)
+
+        ys = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None]
+        xs = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :]
+
+        x0, x1, x2 = sx[..., 0], sx[..., 1], sx[..., 2]
+        y0, y1, y2 = sy[..., 0], sy[..., 1], sy[..., 2]
+        det = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        safe_det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+        l1 = ((xs - x0) * (y2 - y0) - (x2 - x0) * (ys - y0)) / safe_det
+        l2 = ((x1 - x0) * (ys - y0) - (xs - x0) * (y1 - y0)) / safe_det
+        l0 = 1.0 - l1 - l2
+        iw = 1.0 / safe_w
+        denom = l0 * iw[..., 0] + l1 * iw[..., 1] + l2 * iw[..., 2]
+        safe_denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        u = l1 * iw[..., 1] / safe_denom
+        v = l2 * iw[..., 2] / safe_denom
+
+        a = av[..., 4:]
+        out = (a[..., 0, :] * (1.0 - u - v)[..., None]
+               + a[..., 1, :] * u[..., None] + a[..., 2, :] * v[..., None])
+        return jnp.stack([u, v], -1), out
+
+    uv, out = jax.vmap(one)(pv, tri)
+    keep = (fid > 0)[..., None]
+    return jnp.where(keep, uv, 0.0), jnp.where(keep, out, 0.0)
+
+
 def interpolate(attr: jax.Array, rast: Rast, faces: jax.Array) -> jax.Array:
     """Interpolate per-vertex attributes at rasterized pixels.
 

@@ -22,6 +22,15 @@ v2 (this file) makes the chunk loop *internal*:
   * the remaining work is 4 small (TP,3)@(3,C) matmuls + VPU coverage/argmin
     per *active* pair.
 
+v3 adds *screen-locality face ordering*: marching tets emits faces in
+lattice-traversal order, so a 1024-face chunk spans a z-slab of the lattice
+whose screen bbox is a band across the image — nearly every (tile, chunk)
+pair survived bbox culling. Faces are reordered by the Morton code of their
+32-face block's screen-bbox center (lattice-local blocks are screen-compact),
+which makes chunk bboxes tight and collapses the per-tile chunk lists.
+Original face ids travel in a 5th coefficient channel and are selected with a
+masked min (no per-pixel remap gather afterwards).
+
 Output and barycentric/interp/antialias semantics are identical to
 `ops.rasterize.rasterize` (parity-tested in interpret mode).
 """
@@ -40,6 +49,17 @@ from animals3d_tpu.ops.rasterize import (Rast, _face_coeffs,
 
 _BIG = 3.0e38
 TILE = 32          # pixel tile edge (TILE*TILE = one kernel pixel block)
+BLOCK = 32         # face-block granularity of the screen-locality sort
+
+
+def _morton2(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Interleave the low 8 bits of two i32 coordinates (Z-order curve)."""
+    def spread(v):
+        v = (v | (v << 4)) & 0x0F0F
+        v = (v | (v << 2)) & 0x3333
+        v = (v | (v << 1)) & 0x5555
+        return v
+    return spread(x) | (spread(y) << 1)
 
 
 def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
@@ -83,9 +103,13 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
             dma((k + 1) % 2, k + 1).start()
 
         dma(slot, k).wait()
-        A = abuf[slot]                                # (3, 4, chunk)
-        cid = cid_of(k)
-        E = jnp.dot(P, A.reshape(3, 4 * chunk),
+        A = abuf[slot]                                # (3, 8, chunk)
+        # channels 4-7 are junk in the matmul output (ids ride in A[2, 4, :]
+        # and are read directly below — the MXU would round ids > 2^mantissa;
+        # the channel dim is 8 because HBM tiling pads the sublane dim to 8
+        # and Mosaic rejects partial-tile DMA slices); widening the dot is
+        # cheaper than slicing/relayouting the VMEM value.
+        E = jnp.dot(P, A.reshape(3, 8 * chunk),
                     preferred_element_type=jnp.float32)
         e0 = E[:, 0 * chunk:1 * chunk]
         e1 = E[:, 1 * chunk:2 * chunk]
@@ -93,11 +117,15 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
         zz = E[:, 3 * chunk:4 * chunk]
         cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
         zc = jnp.where(cov, zz, _BIG)                 # (TP, C)
-        local = jnp.argmin(zc, axis=1, keepdims=True).astype(jnp.int32)
         local_z = jnp.min(zc, axis=1, keepdims=True)  # (TP, 1)
+        # faces are chunk-local in *sorted* order; the winner's ORIGINAL id
+        # (stored per face in A[2, 4, :], exact in f32 for < 2^24 faces) is
+        # selected with a masked min — ties on z pick the smallest orig id.
+        idw = jnp.min(jnp.where(zc <= local_z, A[2, 4, :][None, :], _BIG),
+                      axis=1, keepdims=True)
         take = local_z < z_run
         new_z = jnp.where(take, local_z, z_run)
-        new_id = jnp.where(take, cid * chunk + local + 1, id_run)
+        new_id = jnp.where(take, idw.astype(jnp.int32) + 1, id_run)
         return new_z, new_id
 
     z0 = jnp.full((TILE * TILE, 1), _BIG, jnp.float32)
@@ -155,13 +183,47 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
         padB = jnp.zeros((B, Fp - F, 4), fbox.dtype) \
             .at[..., :2].set(_BIG).at[..., 2:].set(-_BIG)
         fbox = jnp.concatenate([fbox, padB], 1)
-    A = A.transpose(0, 2, 3, 1)                      # (B, 3, 4, Fp)
-    nch = Fp // chunk
-    cb = fbox.reshape(B, nch, chunk, 4)
-    bbox = jnp.concatenate([cb[..., :2].min(2), cb[..., 2:].max(2)], -1)
 
     P, nty, ntx = _tile_pixels(height, width)
     T = nty * ntx
+
+    # ---- screen-locality face ordering ------------------------------------
+    # Sort BLOCK-face blocks (lattice-local → screen-compact) by the Morton
+    # code of their screen-bbox-center tile; invalid/offscreen blocks go
+    # last. Chunk bboxes become tight, so the per-tile chunk lists below
+    # collapse from "almost every chunk" (band-shaped bboxes) to a handful.
+    blk = min(BLOCK, chunk)          # chunk always divides Fp
+    nblk = Fp // blk
+    bb = fbox.reshape(B, nblk, blk, 4)
+    blo = bb[..., :2].min(2)                          # (B, nblk, 2)
+    bhi = bb[..., 2:].max(2)
+    valid_blk = bhi[..., 0] >= blo[..., 0]
+    btx = jnp.clip(((blo[..., 0] + bhi[..., 0]) * (0.5 / TILE))
+                   .astype(jnp.int32), 0, ntx - 1)
+    bty = jnp.clip(((blo[..., 1] + bhi[..., 1]) * (0.5 / TILE))
+                   .astype(jnp.int32), 0, nty - 1)
+    key = jnp.where(valid_blk, _morton2(btx, bty), jnp.int32(1 << 30))
+    perm = jnp.argsort(key, axis=-1, stable=True).astype(jnp.int32)
+
+    def blk_gather(x, d):
+        return jnp.take_along_axis(x.reshape(B, nblk, blk * d),
+                                   perm[..., None], axis=1)
+
+    A = blk_gather(A, 12).reshape(B, Fp, 3, 4)
+    fbox = blk_gather(fbox, 4).reshape(B, Fp, 4)
+    orig = (perm[..., None] * blk
+            + jnp.arange(blk, dtype=jnp.int32)).reshape(B, Fp)
+    # channel 4: original face id in the constant-coefficient slot (the
+    # kernel reads A[2, 4, :] directly; f32 is exact below 2^24 faces).
+    # Channels 5-7 pad the sublane dim to the (8, 128) HBM tile so the
+    # kernel's per-chunk DMA slice is tile-aligned.
+    idc = jnp.zeros((B, Fp, 3, 4), A.dtype) \
+        .at[:, :, 2, 0].set(orig.astype(jnp.float32))
+    A = jnp.concatenate([A, idc], -1)                # (B, Fp, 3, 8)
+    A = A.transpose(0, 2, 3, 1)                      # (B, 3, 8, Fp)
+    nch = Fp // chunk
+    cb = fbox.reshape(B, nch, chunk, 4)
+    bbox = jnp.concatenate([cb[..., :2].min(2), cb[..., 2:].max(2)], -1)
 
     # ---- per-(image, tile) active-chunk compaction (XLA, tiny) ------------
     tids = jnp.arange(T, dtype=jnp.int32)
@@ -196,7 +258,7 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 3, 4, chunk), jnp.float32),
+            pltpu.VMEM((2, 3, 8, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -207,8 +269,8 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
                    jax.ShapeDtypeStruct((B, n_pix, 1), jnp.int32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * n_pix * Fp * 12 // 8,
-            bytes_accessed=B * T * 48 * chunk + B * n_pix * 8,
+            flops=2 * B * n_pix * Fp * 24 // 8,
+            bytes_accessed=B * T * 96 * chunk + B * n_pix * 8,
             transcendentals=0),
     )(order, counts, P, A)
 

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from animals3d_tpu.geometry.mesh import Mesh, face_normals
 from animals3d_tpu.ops import shading as sh
 from animals3d_tpu.ops.antialias import antialias
-from animals3d_tpu.ops.rasterize import Rast, interpolate, rasterize
+from animals3d_tpu.ops.rasterize import Rast, rasterize, resolve
 from animals3d_tpu.render.camera import xfm_points
 from animals3d_tpu.render.light import directional_shade
 
@@ -96,35 +96,37 @@ def render_mesh(
                     face_id=rast.face_id[:, ::spp, ::spp])
 
     # ---- interpolated attribute buffers -----------------------------------
-    # one fused gather for pos/normal/canonical-tex-pos (9 channels): the
-    # per-pixel triangle gathers dominate this stage, so batch them
+    # ONE fused per-pixel gather (resolve) serves barycentrics AND all
+    # interpolated channels (pos/normal/canonical-tex-pos + optional flow):
+    # per-pixel row gathers are the dominant cost of this stage on TPU, and
+    # with nothing consuming rast.uv, the standalone barycentric pass inside
+    # the rasterizer is dead-code-eliminated
     prior = prior_mesh if prior_mesh is not None else mesh
     v_tex = prior.v_pos
     if v_tex.shape[0] == 1 and B > 1:
         v_tex = jnp.broadcast_to(v_tex, (B, *v_tex.shape[1:]))
-    fused = interpolate(
-        jnp.concatenate([mesh.v_pos, mesh.v_nrm, v_tex], -1), rast, faces)
-    gb_pos = fused[..., 0:3]
-    gb_normal = fused[..., 3:6]
-    gb_tex_pos = fused[..., 6:9]
-
-    shade_mask = rast.mask[..., None].astype(v_clip.dtype)
-    fn = face_normals(mesh.v_pos, faces, mesh.f_valid)       # (B, F, 3)
-    sel = jnp.maximum(rast.face_id - 1, 0)
-    gb_geo_normal = jnp.take_along_axis(
-        fn[:, :, None, :], sel.reshape(B, -1, 1, 1).repeat(3, -1), axis=1
-    ).reshape(*sel.shape, 3) * shade_mask
-
-    # ---- optional 2D flow (clip-space delta between consecutive frames) ----
-    flow_interp = None
+    chans = [mesh.v_pos, mesh.v_nrm, v_tex]
     if "flow" in render_modes:
+        # 2D flow: clip-space delta between consecutive frames
         assert num_frames is not None and num_frames > 1
         xy = v_clip[..., :2] / v_clip[..., 3:4]
         xy = xy.reshape(-1, num_frames, *xy.shape[1:])
         delta = xy[:, 1:] - xy[:, :-1]
         delta = jnp.concatenate([delta, jnp.zeros_like(delta[:, :1])], 1)
-        delta = delta.reshape(-1, *delta.shape[2:])
-        flow_interp = interpolate(delta, rast, faces)
+        chans.append(delta.reshape(-1, *delta.shape[2:]))
+    _uv, fused = resolve(jnp.concatenate(chans, -1), rast, v_clip, faces)
+    gb_pos = fused[..., 0:3]
+    gb_normal = fused[..., 3:6]
+    gb_tex_pos = fused[..., 6:9]
+    flow_interp = fused[..., 9:11] if "flow" in render_modes else None
+
+    shade_mask = rast.mask[..., None].astype(v_clip.dtype)
+    fn = face_normals(mesh.v_pos, faces, mesh.f_valid)       # (B, F, 3)
+    sel = jnp.maximum(rast.face_id - 1, 0)
+    # row gather (one descriptor per pixel); take_along_axis with repeated
+    # per-channel indices lowers to an elementwise gather, 3x the rows
+    gb_geo_normal = jax.vmap(lambda f, s: f[s])(
+        fn, sel.reshape(B, -1)).reshape(*sel.shape, 3) * shade_mask
 
     # ---- shading -----------------------------------------------------------
     if material_fn is not None:

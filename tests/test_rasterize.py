@@ -139,3 +139,37 @@ def test_batch_and_background():
     assert np.asarray(rast.face_id[0]).sum() > 0
     assert np.asarray(rast.face_id[1]).sum() == 0
     assert np.asarray(rast.uv[1]).sum() == 0
+
+
+def test_resolve_matches_barycentrics_plus_interpolate():
+    """Fused resolve == compute_barycentrics + interpolate (values + grads)."""
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-0.9, 0.9, (2, 24, 3)).astype(np.float32)
+    w = rng.uniform(2, 4, (2, 24, 1)).astype(np.float32)
+    v_clip = jnp.asarray(np.concatenate([v * w, w], -1))
+    faces = jnp.asarray(rng.integers(0, 24, (16, 3)).astype(np.int32))
+    f_valid = jnp.ones(16, bool)
+    attr = jnp.asarray(rng.normal(size=(2, 24, 5)).astype(np.float32))
+
+    rast = rz.rasterize(v_clip, faces, f_valid, (32, 32))
+    uv_f, out_f = rz.resolve(attr, rast, v_clip, faces)
+    np.testing.assert_allclose(np.asarray(uv_f), np.asarray(rast.uv),
+                               atol=1e-5)
+    ref = rz.interpolate(attr, rast, faces)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref), atol=1e-5)
+
+    def loss_fused(vc, a):
+        r = rz.rasterize(vc, faces, f_valid, (32, 32))
+        _, o = rz.resolve(a, r, vc, faces)
+        return jnp.sum(o * o)
+
+    def loss_ref(vc, a):
+        r = rz.rasterize(vc, faces, f_valid, (32, 32))
+        o = rz.interpolate(a, r, faces)
+        return jnp.sum(o * o)
+
+    gv_f, ga_f = jax.grad(loss_fused, argnums=(0, 1))(v_clip, attr)
+    gv_r, ga_r = jax.grad(loss_ref, argnums=(0, 1))(v_clip, attr)
+    np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_r),
+                               rtol=1e-3, atol=1e-4)
