@@ -50,26 +50,27 @@ class Rast(NamedTuple):
 
 
 def _face_coeffs(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
-                 height: int, width: int):
+                 height: int, width: int, fv: jax.Array | None = None):
     """Per-face affine coefficients for edge functions and depth.
 
     Returns A: (F, 3, 4) such that [px, py, 1] @ A[f] = [e0, e1, e2, z_affine]
     where e_i are unnormalized barycentric numerators (sign(det)-corrected so
     inside => all e_i >= 0) and z_affine = sum_i l_i * z_ndc_i with
     l_i = e_i / det.
-    """
-    w = v_clip[..., 3]
-    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
-    ndc = v_clip[..., :3] / safe_w[..., None]
-    sx = (ndc[..., 0] + 1.0) * (0.5 * width)
-    sy = (ndc[..., 1] + 1.0) * (0.5 * height)
-    z = ndc[..., 2]
 
-    # ONE packed row gather instead of four: TPU gather cost is per-row
-    # (descriptor-bound), so (F,3) rows × 4ch beats 4 × (F,3) rows × 1ch
-    packed = jnp.stack([sx, sy, z, w], -1)            # (V, 4)
-    fp_ = packed[faces]                               # (F, 3, 4)
-    fx, fy, fz, fw = fp_[..., 0], fp_[..., 1], fp_[..., 2], fp_[..., 3]
+    fv: optional pre-gathered clip positions `v_clip[faces]` (F, 3, 4). The
+    (F, 3)-row gather is the dominant cost of this function on TPU
+    (descriptor-bound); callers that also need per-face world positions
+    (face normals) should gather one packed table and pass the clip slice.
+    """
+    if fv is None:
+        fv = v_clip[faces]                            # (F, 3, 4)
+    fw = fv[..., 3]
+    safe_w = jnp.where(jnp.abs(fw) > 1e-9, fw, 1e-9)
+    ndc = fv[..., :3] / safe_w[..., None]
+    fx = (ndc[..., 0] + 1.0) * (0.5 * width)
+    fy = (ndc[..., 1] + 1.0) * (0.5 * height)
+    fz = ndc[..., 2]
 
     x0, x1, x2 = fx[:, 0], fx[:, 1], fx[:, 2]
     y0, y1, y2 = fy[:, 0], fy[:, 1], fy[:, 2]
@@ -200,31 +201,51 @@ def compute_barycentrics(v_clip: jax.Array, faces: jax.Array,
 
 
 def resolve(attr: jax.Array, rast: Rast, v_clip: jax.Array,
-            faces: jax.Array) -> tuple[jax.Array, jax.Array]:
+            faces: jax.Array, face_attr: jax.Array | None = None):
     """Fused barycentrics + attribute interpolation (one per-pixel gather).
 
-    Equivalent to `compute_barycentrics` followed by `interpolate`, but the
-    clip-space positions and the attributes are packed into ONE per-vertex
-    table so the (B, H, W, 3)-row pixel gather happens once. TPU gathers are
-    descriptor-bound (~16 ns/row regardless of row width), so one wide
-    gather replaces the two narrow ones — and autodiff produces one merged
-    scatter-add in the backward pass instead of two.
+    Equivalent to `compute_barycentrics` followed by `interpolate`, but
+    restructured around TPU gather cost (descriptor-bound, ~25 ns/row
+    regardless of row width):
 
-    attr: (B, V, A) or (V, A) shared. Returns (uv (B,H,W,2), out (B,H,W,A)),
-    both 0 on background. Differentiable w.r.t. v_clip and attr; the face
-    assignment is fixed (stop-grad), like nvdiffrast.
+      1. clip positions + attributes pack into one per-vertex table whose
+         row carries the whole batch — (V, B·C) — so the face-topology
+         gather is batch-free: F·3 rows instead of B·F·3;
+      2. the per-face table (B, F, 3·C) then serves each pixel with ONE
+         row gather (B·H·W rows) instead of three per-vertex rows;
+      3. optional `face_attr` (B, F, K) channels (e.g. geometric normals)
+         ride in the same per-face row, replacing a separate pixel gather.
+
+    The autodiff backward correspondingly emits one merged pixel
+    scatter-add plus one batch-free face scatter.
+
+    attr: (B, V, A) or (V, A) shared. Returns (uv (B,H,W,2), out (B,H,W,A))
+    plus (B,H,W,K) if face_attr is given; all 0 on background.
+    Differentiable w.r.t. v_clip, attr and face_attr; the face assignment
+    is fixed (stop-grad), like nvdiffrast.
     """
     B, H, W = rast.face_id.shape
     if attr.ndim == 2:
         attr = jnp.broadcast_to(attr[None], (B, *attr.shape))
     nA = attr.shape[-1]
+    C = 4 + nA
+    V = v_clip.shape[1]
+    F = faces.shape[0]
     fid = lax.stop_gradient(rast.face_id)
     sel = jnp.maximum(fid - 1, 0)                       # (B, H, W)
-    tri = faces[sel]                                    # (B, H, W, 3)
     pv = jnp.concatenate([v_clip, attr.astype(v_clip.dtype)], -1)
+    tab = pv.transpose(1, 0, 2).reshape(V, B * C)
+    pf = tab[faces].reshape(F, 3, B, C).transpose(2, 0, 1, 3) \
+        .reshape(B, F, 3 * C)                           # (B, F, 3C)
+    nK = 0
+    if face_attr is not None:
+        nK = face_attr.shape[-1]
+        pf = jnp.concatenate([pf, face_attr.astype(pf.dtype)], -1)
 
-    def one(pv_b, tri_b):
-        av = pv_b[tri_b]                                # (H, W, 3, 4+A)
+    def one(pf_b, sel_b):
+        rows = pf_b[sel_b.reshape(-1)]                  # (H*W, 3C [+K])
+        av = rows[:, :3 * C].reshape(H, W, 3, C)
+        fa = rows[:, 3 * C:].reshape(H, W, nK)
         vv = av[..., :4]
         w = vv[..., 3]
         safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
@@ -250,11 +271,15 @@ def resolve(attr: jax.Array, rast: Rast, v_clip: jax.Array,
         a = av[..., 4:]
         out = (a[..., 0, :] * (1.0 - u - v)[..., None]
                + a[..., 1, :] * u[..., None] + a[..., 2, :] * v[..., None])
-        return jnp.stack([u, v], -1), out
+        return jnp.stack([u, v], -1), out, fa
 
-    uv, out = jax.vmap(one)(pv, tri)
+    uv, out, fa = jax.vmap(one)(pf, sel)
     keep = (fid > 0)[..., None]
-    return jnp.where(keep, uv, 0.0), jnp.where(keep, out, 0.0)
+    uv = jnp.where(keep, uv, 0.0)
+    out = jnp.where(keep, out, 0.0)
+    if face_attr is None:
+        return uv, out
+    return uv, out, jnp.where(keep, fa, 0.0)
 
 
 def interpolate(attr: jax.Array, rast: Rast, faces: jax.Array) -> jax.Array:

@@ -156,7 +156,10 @@ def _untile(x, B, nty, ntx):
                                              "interpret"))
 def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
                      resolution: tuple[int, int], num_faces=None,
-                     chunk: int = 1024, interpret: bool = False) -> Rast:
+                     chunk: int = 1024, interpret: bool = False,
+                     fv_clip: jax.Array | None = None) -> Rast:
+    """fv_clip: optional pre-gathered `v_clip[faces]` (B, F, 3, 4) — lets the
+    caller share the (B·F·3)-row gather with other per-face work (normals)."""
     height, width = resolution
     assert height % TILE == 0 and width % TILE == 0, (height, width)
     B, V, _ = v_clip.shape
@@ -165,8 +168,9 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     Fp = -(-F // chunk) * chunk
     n_pix = height * width
 
-    def coeffs_one(vc):
-        A, ok, _, _, sx, sy = _face_coeffs(vc, faces, f_valid, height, width)
+    def coeffs_one(vc, fv):
+        A, ok, _, _, sx, sy = _face_coeffs(vc, faces, f_valid, height, width,
+                                           fv=fv)
         # invalid faces: edge constant −1 → never covered; empty bbox
         A = jnp.where(ok[:, None, None], A,
                       jnp.asarray([0.0, 0.0, -1.0])[None, :, None])
@@ -176,7 +180,11 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
         hi_y = jnp.where(ok, sy.max(-1), -_BIG)
         return A, jnp.stack([lo_x, lo_y, hi_x, hi_y], -1)
 
-    A, fbox = jax.vmap(coeffs_one)(v_nd)             # (B,F,3,4), (B,F,4)
+    fv_nd = (None if fv_clip is None
+             else jax.lax.stop_gradient(fv_clip))
+    A, fbox = (jax.vmap(lambda vc: coeffs_one(vc, None))(v_nd)
+               if fv_nd is None
+               else jax.vmap(coeffs_one)(v_nd, fv_nd))  # (B,F,3,4), (B,F,4)
     if Fp != F:
         padA = jnp.zeros((B, Fp - F, 3, 4), A.dtype).at[:, :, 1, 2].set(-1.0)
         A = jnp.concatenate([A, padA], 1)

@@ -32,7 +32,7 @@ from typing import Callable, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from animals3d_tpu.geometry.mesh import Mesh, face_normals
+from animals3d_tpu.geometry.mesh import Mesh
 from animals3d_tpu.ops import shading as sh
 from animals3d_tpu.ops.antialias import antialias
 from animals3d_tpu.ops.rasterize import Rast, rasterize, resolve
@@ -76,12 +76,25 @@ def render_mesh(
     faces = mesh.t_pos_idx
 
     v_clip = xfm_points(mesh.v_pos, mtx_in)                  # (B, V, 4)
+    # ONE batch-free gather feeds both the rasterizer's face coefficients
+    # and the face normals. TPU gathers are descriptor-bound (~25 ns/row
+    # regardless of width), and this gather runs at face *capacity*, so:
+    #  (a) pos+clip are packed into one 7-channel table (one gather, not
+    #      two), and (b) since the topology is shared across the batch, the
+    #      batch rides IN THE ROW — (V, B*7) table, F*3 rows — instead of
+    #      multiplying the row count (B*F*3). ~10x fewer descriptors.
+    V = mesh.v_pos.shape[1]
+    Fn = faces.shape[0]
+    pv = jnp.concatenate([mesh.v_pos, v_clip], -1)           # (B, V, 7)
+    tab = pv.transpose(1, 0, 2).reshape(V, B * 7)
+    fv = tab[faces].reshape(Fn, 3, B, 7).transpose(2, 0, 1, 3)  # (B, F, 3, 7)
     if jax.default_backend() == "tpu":
         # Pallas tile rasterizer: visibility math stays in VMEM; padded
         # capacity chunks beyond num_faces are skipped (prefix compaction)
         from animals3d_tpu.ops.rasterize_pallas import rasterize_pallas
         rast = rasterize_pallas(v_clip, faces, mesh.f_valid, full_res,
-                                num_faces=mesh.num_faces)
+                                num_faces=mesh.num_faces,
+                                fv_clip=fv[..., 3:])
     else:
         rast = rasterize(v_clip, faces, mesh.f_valid, full_res)
     mask = rast.mask[..., None].astype(v_clip.dtype)         # (B, H', W', 1)
@@ -114,19 +127,22 @@ def render_mesh(
         delta = xy[:, 1:] - xy[:, :-1]
         delta = jnp.concatenate([delta, jnp.zeros_like(delta[:, :1])], 1)
         chans.append(delta.reshape(-1, *delta.shape[2:]))
-    _uv, fused = resolve(jnp.concatenate(chans, -1), rast, v_clip, faces)
+    # face normals from the shared fv gather (cross of pre-gathered verts);
+    # they ride in resolve's per-face row, so the per-pixel lookup is free
+    fvp = fv[..., :3]
+    fn = jnp.cross(fvp[..., 1, :] - fvp[..., 0, :],
+                   fvp[..., 2, :] - fvp[..., 0, :])
+    fn = sh.safe_normalize(fn)
+    fn = jnp.where(mesh.f_valid[None, :, None], fn, 0.0)     # (B, F, 3)
+
+    _uv, fused, gb_geo_normal = resolve(
+        jnp.concatenate(chans, -1), rast, v_clip, faces, face_attr=fn)
     gb_pos = fused[..., 0:3]
     gb_normal = fused[..., 3:6]
     gb_tex_pos = fused[..., 6:9]
     flow_interp = fused[..., 9:11] if "flow" in render_modes else None
-
     shade_mask = rast.mask[..., None].astype(v_clip.dtype)
-    fn = face_normals(mesh.v_pos, faces, mesh.f_valid)       # (B, F, 3)
-    sel = jnp.maximum(rast.face_id - 1, 0)
-    # row gather (one descriptor per pixel); take_along_axis with repeated
-    # per-channel indices lowers to an elementwise gather, 3x the rows
-    gb_geo_normal = jax.vmap(lambda f, s: f[s])(
-        fn, sel.reshape(B, -1)).reshape(*sel.shape, 3) * shade_mask
+    gb_geo_normal = gb_geo_normal * shade_mask
 
     # ---- shading -----------------------------------------------------------
     if material_fn is not None:
