@@ -62,8 +62,12 @@ def _morton2(x: jax.Array, y: jax.Array) -> jax.Array:
     return spread(x) | (spread(y) << 1)
 
 
+NSUB = 8           # sub-blocks per chunk for the in-kernel mask cull
+
+
 def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
-                   abuf, sem, *, chunk: int, kmax: int, nch: int):
+                   abuf, sem, *, chunk: int, kmax: int, nch: int,
+                   nsub: int = NSUB):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -71,19 +75,26 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
     id_ref[...] = jnp.zeros_like(id_ref)
 
     # per-tile chunk lists are capped at kmax (SMEM budget); a tile that
-    # overlaps more chunks falls back to scanning all of them
+    # overlaps more chunks falls back to scanning all of them. Each SMEM
+    # entry packs the chunk id (low 16 bits) and an NSUB-bit mask of which
+    # sub-blocks' bboxes overlap this tile (high bits).
     n_raw = cnt_ref[b, i]
     use_ids = n_raw <= kmax
     n = jnp.where(use_ids, n_raw, nch)
 
-    def cid_of(k):
-        return jnp.where(use_ids,
-                         ids_ref[b, i, jnp.minimum(k, kmax - 1)], k)
+    def entry_of(k):
+        v = ids_ref[b, i, jnp.minimum(k, kmax - 1)]
+        cid = jnp.where(use_ids, v & 0xFFFF, k)
+        m8 = jnp.where(use_ids, v >> 16, (1 << nsub) - 1)
+        return cid, m8
 
     def dma(slot, k):
-        cid = cid_of(k)
+        cid, _ = entry_of(k)
+        # A is chunk-contiguous (B, nch, 3, 8, chunk): one contiguous 96 KB
+        # copy per chunk. (A channel-major slice [b, :, :, cid*chunk :] is 24
+        # strided 4 KB segments — measured ~17 us/pair, DMA-latency-bound.)
         return pltpu.make_async_copy(
-            A_hbm.at[b, :, :, pl.ds(cid * chunk, chunk)],
+            A_hbm.at[b, cid],
             abuf.at[slot],
             sem.at[slot],
         )
@@ -93,9 +104,9 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
         dma(0, 0).start()
 
     P = pix_ref[0]                                    # (TP, 3)
+    sub = chunk // nsub
 
-    def body(k, carry):
-        z_run, id_run = carry
+    def body(k, _):
         slot = k % 2
 
         @pl.when(k + 1 < n)
@@ -104,35 +115,41 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
 
         dma(slot, k).wait()
         A = abuf[slot]                                # (3, 8, chunk)
-        # channels 4-7 are junk in the matmul output (ids ride in A[2, 4, :]
-        # and are read directly below — the MXU would round ids > 2^mantissa;
-        # the channel dim is 8 because HBM tiling pads the sublane dim to 8
-        # and Mosaic rejects partial-tile DMA slices); widening the dot is
-        # cheaper than slicing/relayouting the VMEM value.
-        E = jnp.dot(P, A.reshape(3, 8 * chunk),
-                    preferred_element_type=jnp.float32)
-        e0 = E[:, 0 * chunk:1 * chunk]
-        e1 = E[:, 1 * chunk:2 * chunk]
-        e2 = E[:, 2 * chunk:3 * chunk]
-        zz = E[:, 3 * chunk:4 * chunk]
-        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-        zc = jnp.where(cov, zz, _BIG)                 # (TP, C)
-        local_z = jnp.min(zc, axis=1, keepdims=True)  # (TP, 1)
-        # faces are chunk-local in *sorted* order; the winner's ORIGINAL id
-        # (stored per face in A[2, 4, :], exact in f32 for < 2^24 faces) is
-        # selected with a masked min — ties on z pick the smallest orig id.
-        idw = jnp.min(jnp.where(zc <= local_z, A[2, 4, :][None, :], _BIG),
-                      axis=1, keepdims=True)
-        take = local_z < z_run
-        new_z = jnp.where(take, local_z, z_run)
-        new_id = jnp.where(take, idw.astype(jnp.int32) + 1, id_run)
-        return new_z, new_id
+        _, m8 = entry_of(k)
+        # The kernel cost is the (TP, faces) coverage min3 + lane reductions
+        # (measured ~6 us per full 1024-face chunk); the NSUB-bit mask skips
+        # sub-blocks whose bbox misses this tile, cutting that work to the
+        # sub-blocks that can matter. The dot uses only the 4 live channels;
+        # ids ride in A[2, 4, :] and are read directly (the MXU would round
+        # ids > 2^mantissa; the channel dim is stored as 8 because HBM
+        # tiling pads the sublane dim to 8).
+        for g in range(nsub):
+            @pl.when((m8 >> g) % 2 == 1)
+            def _(g=g):
+                Ag = A[:, :4, g * sub:(g + 1) * sub]
+                E = jnp.dot(P, Ag.reshape(3, 4 * sub),
+                            preferred_element_type=jnp.float32)
+                e0 = E[:, 0 * sub:1 * sub]
+                e1 = E[:, 1 * sub:2 * sub]
+                e2 = E[:, 2 * sub:3 * sub]
+                zz = E[:, 3 * sub:4 * sub]
+                m = jnp.minimum(jnp.minimum(e0, e1), e2)  # >= 0 iff covered
+                zc = jnp.where(m >= 0, zz, _BIG)          # (TP, sub)
+                gz = jnp.min(zc, axis=1, keepdims=True)   # (TP, 1)
+                # faces are sub-block-local in *sorted* order; the winner's
+                # ORIGINAL id (A[2, 4, :], exact in f32 below 2^24 faces) is
+                # selected by masked min — z ties pick the smallest orig id
+                ids = A[2, 4, g * sub:(g + 1) * sub]
+                gid = jnp.min(jnp.where(zc <= gz, ids[None, :], _BIG),
+                              axis=1, keepdims=True)
+                zr = z_ref[0]
+                take = gz < zr
+                z_ref[0] = jnp.where(take, gz, zr)
+                id_ref[0] = jnp.where(take, gid.astype(jnp.int32) + 1,
+                                      id_ref[0])
+        return 0
 
-    z0 = jnp.full((TILE * TILE, 1), _BIG, jnp.float32)
-    id0 = jnp.zeros((TILE * TILE, 1), jnp.int32)
-    z_fin, id_fin = jax.lax.fori_loop(0, n, body, (z0, id0))
-    z_ref[0] = z_fin
-    id_ref[0] = id_fin
+    jax.lax.fori_loop(0, n, body, 0)
 
 
 def _tile_pixels(height: int, width: int):
@@ -152,15 +169,198 @@ def _untile(x, B, nty, ntx):
     return x.transpose(0, 1, 3, 2, 4).reshape(B, nty * TILE, ntx * TILE)
 
 
+def _morton3(x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
+    """Interleave the low 10 bits of three i32 coordinates (3-D Z-order)."""
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+    return spread(x) | (spread(y) << 1) | (spread(z) << 2)
+
+
+def _pallas_visibility(order, counts, P, A, *, B, n_pix, T, chunk, kmax,
+                       nch, nsub, interpret):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,       # packed chunk-id/mask lists + counts
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, TILE * TILE, 3),
+                         lambda b, i, ids, cnt: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),    # A stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE * TILE, 1),
+                         lambda b, i, ids, cnt: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE * TILE, 1),
+                         lambda b, i, ids, cnt: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, 8, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_raster_kernel, chunk=chunk, kmax=kmax, nch=nch,
+                          nsub=nsub),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, n_pix, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, n_pix, 1), jnp.int32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_pix * chunk * nch * 24 // 8,
+            bytes_accessed=B * T * 96 * chunk + B * n_pix * 8,
+            transcendentals=0),
+    )(order, counts, P, A)
+
+
+def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
+                        fv_rows):
+    """Struct-of-arrays fast path (used by render_mesh via `fv_rows`).
+
+    The v3 path computed face coefficients on (B, F, 3[, 4]) arrays whose
+    minor dimension is 3-7 — 2-5% VPU lane occupancy, measured ~115 ms of
+    pure elementwise math at 196k face capacity. Here every per-face value
+    is a (B, Fp) array with the face axis minor (full (8,128) registers),
+    and the coefficient tensor is assembled directly into the kernel's
+    chunk-contiguous (B, nch, 3, 8, chunk) layout.
+
+    The screen-locality sort becomes a single SHARED block order, keyed by
+    the 3-D Morton code of each 32-face block's batch-0 world centroid:
+    3-D-compact blocks project to compact screen regions in every view, so
+    one order serves the whole batch and the sort gather is batch-free.
+    """
+    height, width = resolution
+    B, V, _ = v_clip.shape
+    F = faces.shape[0]
+    Fp = -(-F // chunk) * chunk
+    n_pix = height * width
+    fvr = jax.lax.stop_gradient(fv_rows).reshape(F, 3, B, 7)
+    if Fp != F:
+        fvr = jnp.concatenate(
+            [fvr, jnp.zeros((Fp - F, 3, B, 7), fvr.dtype)], 0)
+        f_valid = jnp.concatenate(
+            [f_valid, jnp.zeros((Fp - F,), bool)], 0)
+
+    # ---- shared block order: 3-D Morton of batch-0 world centroids --------
+    blk = min(BLOCK, chunk)
+    nblk = Fp // blk
+    ctr = fvr[:, :, 0, :3].mean(1)                   # (Fp, 3) — tiny
+    bval = f_valid.reshape(nblk, blk)
+    nb = jnp.maximum(bval.sum(1), 1)[:, None]
+    c = (ctr.reshape(nblk, blk, 3)
+         * bval[..., None]).sum(1) / nb              # (nblk, 3)
+    has = bval.any(1)
+    lo = jnp.min(jnp.where(has[:, None], c, _BIG), 0)
+    hi = jnp.max(jnp.where(has[:, None], c, -_BIG), 0)
+    q = jnp.clip(((c - lo) / jnp.maximum(hi - lo, 1e-9) * 1023)
+                 .astype(jnp.int32), 0, 1023)
+    key = jnp.where(has, _morton3(q[:, 0], q[:, 1], q[:, 2]),
+                    jnp.int32(1 << 30))
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)   # (nblk,)
+    orig = (perm[:, None] * blk
+            + jnp.arange(blk, dtype=jnp.int32)).reshape(Fp)  # sorted → orig
+    fvr = fvr.reshape(nblk, -1)[perm].reshape(Fp, 3, B, 7)
+    fval = f_valid[orig]
+
+    # ---- face coefficients, minor-F ---------------------------------------
+    fvT = fvr.transpose(2, 3, 1, 0)                  # (B, 7ch, 3vert, Fp)
+    w = fvT[:, 6]                                    # (B, 3, Fp)
+    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    sx = (fvT[:, 3] / safe_w + 1.0) * (0.5 * width)
+    sy = (fvT[:, 4] / safe_w + 1.0) * (0.5 * height)
+    sz = fvT[:, 5] / safe_w
+    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]        # (B, Fp)
+    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+    z0, z1, z2 = sz[:, 0], sz[:, 1], sz[:, 2]
+    det = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    a0, b0, c0 = y1 - y2, x2 - x1, x1 * y2 - x2 * y1
+    a1, b1, c1 = y2 - y0, x0 - x2, x2 * y0 - x0 * y2
+    a2, b2, c2 = y0 - y1, x1 - x0, x0 * y1 - x1 * y0
+    sgn = jnp.where(det >= 0, 1.0, -1.0)
+    absdet = jnp.abs(det)
+    inv = 1.0 / jnp.maximum(absdet, 1e-12)
+    ok = (fval[None, :] & (absdet > 1e-12) & (w > 1e-6).all(1))
+    eps = 1e-4 * absdet
+    ea0, ea1, ea2 = a0 * sgn, a1 * sgn, a2 * sgn
+    eb0, eb1, eb2 = b0 * sgn, b1 * sgn, b2 * sgn
+    ec0, ec1, ec2 = c0 * sgn, c1 * sgn, c2 * sgn
+    za = (ea0 * z0 + ea1 * z1 + ea2 * z2) * inv
+    zb = (eb0 * z0 + eb1 * z1 + eb2 * z2) * inv
+    zc = (ec0 * z0 + ec1 * z1 + ec2 * z2) * inv
+    ec0, ec1, ec2 = ec0 + eps, ec1 + eps, ec2 + eps
+    zero = jnp.zeros_like(det)
+    g = lambda v: jnp.where(ok, v, 0.0)          # invalid → (a,b,c)=(0,0,-1)
+    gc = lambda v: jnp.where(ok, v, -1.0)
+    origb = jnp.broadcast_to(orig.astype(jnp.float32)[None], (B, Fp))
+    A8 = jnp.stack([
+        jnp.stack([g(ea0), g(ea1), g(ea2), g(za), zero, zero, zero, zero], 1),
+        jnp.stack([g(eb0), g(eb1), g(eb2), g(zb), zero, zero, zero, zero], 1),
+        jnp.stack([gc(ec0), gc(ec1), gc(ec2), gc(zc), origb,
+                   zero, zero, zero], 1),
+    ], 1)                                            # (B, 3, 8, Fp)
+    nch = Fp // chunk
+    A8 = A8.reshape(B, 3, 8, nch, chunk).transpose(0, 3, 1, 2, 4)
+    # (B, nch, 3, 8, chunk): per-chunk blocks contiguous in HBM
+
+    # ---- per-(tile, chunk) lists + sub-block masks ------------------------
+    P, nty, ntx = _tile_pixels(height, width)
+    T = nty * ntx
+    nsub = NSUB if chunk % NSUB == 0 and chunk >= NSUB else 1
+    sub = chunk // nsub
+    min3 = lambda u, v, t: jnp.minimum(jnp.minimum(u, v), t)
+    max3 = lambda u, v, t: jnp.maximum(jnp.maximum(u, v), t)
+    lo_x = jnp.where(ok, min3(x0, x1, x2), _BIG).reshape(B, nch, nsub, sub)
+    lo_y = jnp.where(ok, min3(y0, y1, y2), _BIG).reshape(B, nch, nsub, sub)
+    hi_x = jnp.where(ok, max3(x0, x1, x2), -_BIG).reshape(B, nch, nsub, sub)
+    hi_y = jnp.where(ok, max3(y0, y1, y2), -_BIG).reshape(B, nch, nsub, sub)
+    lo_x, lo_y = lo_x.min(-1), lo_y.min(-1)          # (B, nch, nsub)
+    hi_x, hi_y = hi_x.max(-1), hi_y.max(-1)
+    tids = jnp.arange(T, dtype=jnp.int32)
+    tx0 = ((tids % ntx) * TILE).astype(jnp.float32)
+    ty0 = ((tids // ntx) * TILE).astype(jnp.float32)
+    t_ = (None, slice(None), None, None)
+    ov_sub = ((lo_x[:, None] < tx0[t_] + TILE) & (hi_x[:, None] >= tx0[t_]) &
+              (lo_y[:, None] < ty0[t_] + TILE) & (hi_y[:, None] >= ty0[t_]))
+    m8 = (ov_sub.astype(jnp.int32)
+          << jnp.arange(nsub, dtype=jnp.int32)).sum(-1)        # (B, T, nch)
+    overlap = m8 > 0
+    kmax = min(nch, 192)
+    order = jnp.argsort(~overlap, axis=-1, stable=True).astype(jnp.int32)
+    order = order[..., :kmax]
+    order = order | (jnp.take_along_axis(m8, order, axis=-1) << 16)
+    counts = overlap.sum(-1).astype(jnp.int32)
+
+    z, fid = _pallas_visibility(order, counts, P, A8, B=B, n_pix=n_pix, T=T,
+                                chunk=chunk, kmax=kmax, nch=nch, nsub=nsub,
+                                interpret=interpret)
+    z = _untile(z, B, nty, ntx)
+    fid = _untile(fid, B, nty, ntx)
+    z = jnp.where(fid > 0, z, 0.0)
+    uv = compute_barycentrics(v_clip, faces, fid, (height, width))
+    return Rast(uv=uv, z=z, face_id=fid)
+
+
 @functools.partial(jax.jit, static_argnames=("resolution", "chunk",
                                              "interpret"))
 def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
                      resolution: tuple[int, int], num_faces=None,
                      chunk: int = 1024, interpret: bool = False,
-                     fv_clip: jax.Array | None = None) -> Rast:
+                     fv_clip: jax.Array | None = None,
+                     fv_rows: jax.Array | None = None) -> Rast:
     """fv_clip: optional pre-gathered `v_clip[faces]` (B, F, 3, 4) — lets the
-    caller share the (B·F·3)-row gather with other per-face work (normals)."""
+    caller share the (B·F·3)-row gather with other per-face work (normals).
+    fv_rows: optional batch-packed gather rows `tab[faces]` (F, 3, B*7) with
+    tab = concat([v_pos, v_clip], -1) transposed to (V, B*7) — enables the
+    struct-of-arrays fast path (see _rasterize_pallas_T)."""
     height, width = resolution
+    if fv_rows is not None:
+        return _rasterize_pallas_T(v_clip, faces, f_valid, resolution,
+                                   chunk, interpret, fv_rows)
     assert height % TILE == 0 and width % TILE == 0, (height, width)
     B, V, _ = v_clip.shape
     v_nd = jax.lax.stop_gradient(v_clip)
@@ -228,60 +428,39 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     idc = jnp.zeros((B, Fp, 3, 4), A.dtype) \
         .at[:, :, 2, 0].set(orig.astype(jnp.float32))
     A = jnp.concatenate([A, idc], -1)                # (B, Fp, 3, 8)
-    A = A.transpose(0, 2, 3, 1)                      # (B, 3, 8, Fp)
     nch = Fp // chunk
-    cb = fbox.reshape(B, nch, chunk, 4)
-    bbox = jnp.concatenate([cb[..., :2].min(2), cb[..., 2:].max(2)], -1)
-
+    A = A.reshape(B, nch, chunk, 3, 8).transpose(0, 1, 3, 4, 2)
+    # (B, nch, 3, 8, chunk): per-chunk blocks are contiguous in HBM
     # ---- per-(image, tile) active-chunk compaction (XLA, tiny) ------------
+    # sub-block (chunk/NSUB faces) bboxes → an NSUB-bit overlap mask per
+    # (tile, chunk), packed into the SMEM entry's high bits so the kernel
+    # can skip sub-blocks whose bbox misses the tile (the coverage math per
+    # face column is the kernel's dominant cost)
+    nsub = NSUB if chunk % NSUB == 0 and chunk >= NSUB else 1
+    sb = fbox.reshape(B, nch, nsub, chunk // nsub, 4)
+    sbox = jnp.concatenate([sb[..., :2].min(3), sb[..., 2:].max(3)], -1)
     tids = jnp.arange(T, dtype=jnp.int32)
     tx0 = ((tids % ntx) * TILE).astype(jnp.float32)   # (T,)
     ty0 = ((tids // ntx) * TILE).astype(jnp.float32)
-    overlap = ((bbox[:, None, :, 0] < tx0[None, :, None] + TILE) &
-               (bbox[:, None, :, 2] >= tx0[None, :, None]) &
-               (bbox[:, None, :, 1] < ty0[None, :, None] + TILE) &
-               (bbox[:, None, :, 3] >= ty0[None, :, None]))    # (B, T, nch)
+    t_ = (None, slice(None), None, None)
+    ov_sub = ((sbox[:, None, ..., 0] < tx0[t_] + TILE) &
+              (sbox[:, None, ..., 2] >= tx0[t_]) &
+              (sbox[:, None, ..., 1] < ty0[t_] + TILE) &
+              (sbox[:, None, ..., 3] >= ty0[t_]))     # (B, T, nch, NSUB)
+    m8 = (ov_sub.astype(jnp.int32)
+          << jnp.arange(nsub, dtype=jnp.int32)).sum(-1)        # (B, T, nch)
+    overlap = m8 > 0
     # SMEM budget: ids (B, T, kmax) i32 well under the ~1 MB SMEM limit;
     # beyond-kmax tiles fall back to a full chunk scan
     kmax = min(nch, 192)
     order = jnp.argsort(~overlap, axis=-1, stable=True).astype(jnp.int32)
     order = order[..., :kmax]
+    order = order | (jnp.take_along_axis(m8, order, axis=-1) << 16)
     counts = overlap.sum(-1).astype(jnp.int32)                 # (B, T)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,       # chunk-id lists + counts
-        grid=(B, T),
-        in_specs=[
-            pl.BlockSpec((1, TILE * TILE, 3),
-                         lambda b, i, ids, cnt: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),    # A stays in HBM
-        ],
-        out_specs=[
-            pl.BlockSpec((1, TILE * TILE, 1),
-                         lambda b, i, ids, cnt: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE * TILE, 1),
-                         lambda b, i, ids, cnt: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 3, 8, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    z, fid = pl.pallas_call(
-        functools.partial(_raster_kernel, chunk=chunk, kmax=kmax, nch=nch),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, n_pix, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((B, n_pix, 1), jnp.int32)],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * n_pix * Fp * 24 // 8,
-            bytes_accessed=B * T * 96 * chunk + B * n_pix * 8,
-            transcendentals=0),
-    )(order, counts, P, A)
-
+    z, fid = _pallas_visibility(order, counts, P, A, B=B, n_pix=n_pix, T=T,
+                                chunk=chunk, kmax=kmax, nch=nch, nsub=nsub,
+                                interpret=interpret)
     z = _untile(z, B, nty, ntx)
     fid = _untile(fid, B, nty, ntx)
     z = jnp.where(fid > 0, z, 0.0)

