@@ -85,17 +85,25 @@ def auto_normals(v_pos: jax.Array, t_pos_idx: jax.Array, v_valid: jax.Array,
                  f_valid: jax.Array) -> jax.Array:
     """Area-weighted smooth vertex normals (reference `auto_normals`,
     `mesh.py:276-304`): splat unnormalized face normals to vertices, then
-    normalize with a [0,0,1] fallback for degenerate/invalid vertices."""
-    fn = face_normals(v_pos, t_pos_idx, f_valid, normalize=False)  # (B, F, 3)
-    V = v_pos.shape[1]
+    normalize with a [0,0,1] fallback for degenerate/invalid vertices.
 
-    def splat(fn_b):
-        acc = jnp.zeros((V, 3), v_pos.dtype)
-        for k in range(3):
-            acc = acc.at[t_pos_idx[:, k]].add(fn_b)
-        return acc
-
-    v_nrm = jax.vmap(splat)(fn)
+    TPU gather/scatter cost is per indexed row, independent of row width,
+    and the topology is shared across the batch — so both the face-corner
+    gather and the splat scatter-add run on (V, B*3) batch-in-row tables:
+    F rows per corner instead of B*F (traced at 61 ms/iter the naive way).
+    """
+    B, V, _ = v_pos.shape
+    F = t_pos_idx.shape[0]
+    tab = v_pos.transpose(1, 0, 2).reshape(V, B * 3)
+    c0 = tab[t_pos_idx[:, 0]].reshape(F, B, 3)       # (F, B, 3)
+    c1 = tab[t_pos_idx[:, 1]].reshape(F, B, 3)
+    c2 = tab[t_pos_idx[:, 2]].reshape(F, B, 3)
+    fn = jnp.cross(c1 - c0, c2 - c0)                 # (F, B, 3)
+    fn = jnp.where(f_valid[:, None, None], fn, 0.0).reshape(F, B * 3)
+    acc = jnp.zeros((V, B * 3), v_pos.dtype)
+    for k in range(3):
+        acc = acc.at[t_pos_idx[:, k]].add(fn)
+    v_nrm = acc.reshape(V, B, 3).transpose(1, 0, 2)  # (B, V, 3)
     dot = jnp.sum(v_nrm * v_nrm, -1, keepdims=True)
     fallback = jnp.asarray([0.0, 0.0, 1.0], v_pos.dtype)
     v_nrm = jnp.where(dot > 1e-20, v_nrm, fallback)

@@ -268,15 +268,26 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     fval = f_valid[orig]
 
     # ---- face coefficients, minor-F ---------------------------------------
-    fvT = fvr.transpose(2, 3, 1, 0)                  # (B, 7ch, 3vert, Fp)
-    w = fvT[:, 6]                                    # (B, 3, Fp)
-    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
-    sx = (fvT[:, 3] / safe_w + 1.0) * (0.5 * width)
-    sy = (fvT[:, 4] / safe_w + 1.0) * (0.5 * height)
-    sz = fvT[:, 5] / safe_w
-    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]        # (B, Fp)
-    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
-    z0, z1, z2 = sz[:, 0], sz[:, 1], sz[:, 2]
+    # The reshape below merges the (7, 3) dims, which are NOT physically
+    # adjacent in the bitcast layout XLA keeps for the transpose — forcing
+    # ONE materialized relayout with Fp minor. Without it, XLA leaves the
+    # channel dim minor and every per-channel slice is a ~47 MB strided
+    # read + retiling copy (4 slices measured ~85 ms total in the trace).
+    fvM = fvr.transpose(2, 3, 1, 0).reshape(B, 21, Fp)
+
+    def chv(c, vtx):
+        return fvM[:, c * 3 + vtx]                   # (B, Fp), minor Fp
+
+    sw0 = jnp.where(jnp.abs(chv(6, 0)) > 1e-9, chv(6, 0), 1e-9)
+    sw1 = jnp.where(jnp.abs(chv(6, 1)) > 1e-9, chv(6, 1), 1e-9)
+    sw2 = jnp.where(jnp.abs(chv(6, 2)) > 1e-9, chv(6, 2), 1e-9)
+    x0 = (chv(3, 0) / sw0 + 1.0) * (0.5 * width)     # (B, Fp)
+    x1 = (chv(3, 1) / sw1 + 1.0) * (0.5 * width)
+    x2 = (chv(3, 2) / sw2 + 1.0) * (0.5 * width)
+    y0 = (chv(4, 0) / sw0 + 1.0) * (0.5 * height)
+    y1 = (chv(4, 1) / sw1 + 1.0) * (0.5 * height)
+    y2 = (chv(4, 2) / sw2 + 1.0) * (0.5 * height)
+    z0, z1, z2 = chv(5, 0) / sw0, chv(5, 1) / sw1, chv(5, 2) / sw2
     det = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
     a0, b0, c0 = y1 - y2, x2 - x1, x1 * y2 - x2 * y1
     a1, b1, c1 = y2 - y0, x0 - x2, x2 * y0 - x0 * y2
@@ -284,7 +295,8 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     sgn = jnp.where(det >= 0, 1.0, -1.0)
     absdet = jnp.abs(det)
     inv = 1.0 / jnp.maximum(absdet, 1e-12)
-    ok = (fval[None, :] & (absdet > 1e-12) & (w > 1e-6).all(1))
+    ok = (fval[None, :] & (absdet > 1e-12) & (chv(6, 0) > 1e-6)
+          & (chv(6, 1) > 1e-6) & (chv(6, 2) > 1e-6))
     eps = 1e-4 * absdet
     ea0, ea1, ea2 = a0 * sgn, a1 * sgn, a2 * sgn
     eb0, eb1, eb2 = b0 * sgn, b1 * sgn, b2 * sgn
