@@ -63,6 +63,7 @@ def _morton2(x: jax.Array, y: jax.Array) -> jax.Array:
 
 
 NSUB = 8           # sub-blocks per chunk for the in-kernel mask cull
+NBUF = 4           # DMA ring depth (prefetch distance for chunk copies)
 
 
 def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
@@ -99,20 +100,16 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
             sem.at[slot],
         )
 
-    @pl.when(n > 0)
-    def _():
-        dma(0, 0).start()
+    for kpre in range(NBUF):
+        @pl.when(kpre < n)
+        def _(kpre=kpre):
+            dma(kpre, kpre).start()
 
     P = pix_ref[0]                                    # (TP, 3)
     sub = chunk // nsub
 
     def body(k, _):
-        slot = k % 2
-
-        @pl.when(k + 1 < n)
-        def _():
-            dma((k + 1) % 2, k + 1).start()
-
+        slot = k % NBUF
         dma(slot, k).wait()
         A = abuf[slot]                                # (3, 8, chunk)
         _, m8 = entry_of(k)
@@ -147,6 +144,11 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
                 z_ref[0] = jnp.where(take, gz, zr)
                 id_ref[0] = jnp.where(take, gid.astype(jnp.int32) + 1,
                                       id_ref[0])
+
+        # refill this ring slot only after the compute above consumed it
+        @pl.when(k + NBUF < n)
+        def _():
+            dma(slot, k + NBUF).start()
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
@@ -200,8 +202,8 @@ def _pallas_visibility(order, counts, P, A, *, B, n_pix, T, chunk, kmax,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 3, 8, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, 3, 8, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     return pl.pallas_call(
