@@ -343,7 +343,9 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     m8 = (ov_sub.astype(jnp.int32)
           << jnp.arange(nsub, dtype=jnp.int32)).sum(-1)        # (B, T, nch)
     overlap = m8 > 0
-    kmax = min(nch, 192)
+    # SMEM lists are lane-padded to 128 entries; keep (B, T, kmax) under
+    # the ~1 MB SMEM budget in padded units
+    kmax = min(nch, max(128, (960 * 1024 // 4) // (B * T) // 128 * 128))
     order = jnp.argsort(~overlap, axis=-1, stable=True).astype(jnp.int32)
     order = order[..., :kmax]
     order = order | (jnp.take_along_axis(m8, order, axis=-1) << 16)
@@ -466,7 +468,9 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     overlap = m8 > 0
     # SMEM budget: ids (B, T, kmax) i32 well under the ~1 MB SMEM limit;
     # beyond-kmax tiles fall back to a full chunk scan
-    kmax = min(nch, 192)
+    # SMEM lists are lane-padded to 128 entries; keep (B, T, kmax) under
+    # the ~1 MB SMEM budget in padded units
+    kmax = min(nch, max(128, (960 * 1024 // 4) // (B * T) // 128 * 128))
     order = jnp.argsort(~overlap, axis=-1, stable=True).astype(jnp.int32)
     order = order[..., :kmax]
     order = order | (jnp.take_along_axis(m8, order, axis=-1) << 16)
