@@ -48,7 +48,9 @@ from animals3d_tpu.ops.rasterize import (Rast, _face_coeffs,
                                          compute_barycentrics)
 
 _BIG = 3.0e38
-TILE = 32          # pixel tile edge (TILE*TILE = one kernel pixel block)
+TILE_H = 16        # pixel tile height (TILE_H*TILE_W = one kernel block)
+TILE_W = 32        # pixel tile width
+TP = TILE_H * TILE_W
 BLOCK = 32         # face-block granularity of the screen-locality sort
 
 
@@ -155,20 +157,20 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
 
 
 def _tile_pixels(height: int, width: int):
-    """Pixel-center coords in 2-D-tile order → (ntiles, TILE*TILE, 3)."""
+    """Pixel-center coords in 2-D-tile order → (ntiles, TP, 3)."""
     ys = (jnp.arange(height, dtype=jnp.float32) + 0.5)
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5)
     px, py = jnp.meshgrid(xs, ys)
     P = jnp.stack([px, py, jnp.ones_like(px)], -1)        # (H, W, 3)
-    nty, ntx = height // TILE, width // TILE
-    P = P.reshape(nty, TILE, ntx, TILE, 3).transpose(0, 2, 1, 3, 4)
-    return P.reshape(nty * ntx, TILE * TILE, 3), nty, ntx
+    nty, ntx = height // TILE_H, width // TILE_W
+    P = P.reshape(nty, TILE_H, ntx, TILE_W, 3).transpose(0, 2, 1, 3, 4)
+    return P.reshape(nty * ntx, TP, 3), nty, ntx
 
 
 def _untile(x, B, nty, ntx):
-    """(B, ntiles*TILE*TILE, 1) tile order → (B, H, W)."""
-    x = x[..., 0].reshape(B, nty, ntx, TILE, TILE)
-    return x.transpose(0, 1, 3, 2, 4).reshape(B, nty * TILE, ntx * TILE)
+    """(B, ntiles*TP, 1) tile order → (B, H, W)."""
+    x = x[..., 0].reshape(B, nty, ntx, TILE_H, TILE_W)
+    return x.transpose(0, 1, 3, 2, 4).reshape(B, nty * TILE_H, ntx * TILE_W)
 
 
 def _morton3(x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
@@ -188,16 +190,16 @@ def _pallas_visibility(order, counts, P, A, *, B, n_pix, T, chunk, kmax,
         num_scalar_prefetch=2,       # packed chunk-id/mask lists + counts
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, TILE * TILE, 3),
+            pl.BlockSpec((1, TP, 3),
                          lambda b, i, ids, cnt: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),    # A stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE * TILE, 1),
+            pl.BlockSpec((1, TP, 1),
                          lambda b, i, ids, cnt: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE * TILE, 1),
+            pl.BlockSpec((1, TP, 1),
                          lambda b, i, ids, cnt: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -335,11 +337,11 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     lo_x, lo_y = lo_x.min(-1), lo_y.min(-1)          # (B, nch, nsub)
     hi_x, hi_y = hi_x.max(-1), hi_y.max(-1)
     tids = jnp.arange(T, dtype=jnp.int32)
-    tx0 = ((tids % ntx) * TILE).astype(jnp.float32)
-    ty0 = ((tids // ntx) * TILE).astype(jnp.float32)
+    tx0 = ((tids % ntx) * TILE_W).astype(jnp.float32)
+    ty0 = ((tids // ntx) * TILE_H).astype(jnp.float32)
     t_ = (None, slice(None), None, None)
-    ov_sub = ((lo_x[:, None] < tx0[t_] + TILE) & (hi_x[:, None] >= tx0[t_]) &
-              (lo_y[:, None] < ty0[t_] + TILE) & (hi_y[:, None] >= ty0[t_]))
+    ov_sub = ((lo_x[:, None] < tx0[t_] + TILE_W) & (hi_x[:, None] >= tx0[t_]) &
+              (lo_y[:, None] < ty0[t_] + TILE_H) & (hi_y[:, None] >= ty0[t_]))
     m8 = (ov_sub.astype(jnp.int32)
           << jnp.arange(nsub, dtype=jnp.int32)).sum(-1)        # (B, T, nch)
     overlap = m8 > 0
@@ -377,7 +379,7 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     if fv_rows is not None:
         return _rasterize_pallas_T(v_clip, faces, f_valid, resolution,
                                    chunk, interpret, fv_rows)
-    assert height % TILE == 0 and width % TILE == 0, (height, width)
+    assert height % TILE_H == 0 and width % TILE_W == 0, (height, width)
     B, V, _ = v_clip.shape
     v_nd = jax.lax.stop_gradient(v_clip)
     F = faces.shape[0]
@@ -422,9 +424,9 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     blo = bb[..., :2].min(2)                          # (B, nblk, 2)
     bhi = bb[..., 2:].max(2)
     valid_blk = bhi[..., 0] >= blo[..., 0]
-    btx = jnp.clip(((blo[..., 0] + bhi[..., 0]) * (0.5 / TILE))
+    btx = jnp.clip(((blo[..., 0] + bhi[..., 0]) * (0.5 / TILE_W))
                    .astype(jnp.int32), 0, ntx - 1)
-    bty = jnp.clip(((blo[..., 1] + bhi[..., 1]) * (0.5 / TILE))
+    bty = jnp.clip(((blo[..., 1] + bhi[..., 1]) * (0.5 / TILE_H))
                    .astype(jnp.int32), 0, nty - 1)
     key = jnp.where(valid_blk, _morton2(btx, bty), jnp.int32(1 << 30))
     perm = jnp.argsort(key, axis=-1, stable=True).astype(jnp.int32)
@@ -456,12 +458,12 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     sb = fbox.reshape(B, nch, nsub, chunk // nsub, 4)
     sbox = jnp.concatenate([sb[..., :2].min(3), sb[..., 2:].max(3)], -1)
     tids = jnp.arange(T, dtype=jnp.int32)
-    tx0 = ((tids % ntx) * TILE).astype(jnp.float32)   # (T,)
-    ty0 = ((tids // ntx) * TILE).astype(jnp.float32)
+    tx0 = ((tids % ntx) * TILE_W).astype(jnp.float32)   # (T,)
+    ty0 = ((tids // ntx) * TILE_H).astype(jnp.float32)
     t_ = (None, slice(None), None, None)
-    ov_sub = ((sbox[:, None, ..., 0] < tx0[t_] + TILE) &
+    ov_sub = ((sbox[:, None, ..., 0] < tx0[t_] + TILE_W) &
               (sbox[:, None, ..., 2] >= tx0[t_]) &
-              (sbox[:, None, ..., 1] < ty0[t_] + TILE) &
+              (sbox[:, None, ..., 1] < ty0[t_] + TILE_H) &
               (sbox[:, None, ..., 3] >= ty0[t_]))     # (B, T, nch, NSUB)
     m8 = (ov_sub.astype(jnp.int32)
           << jnp.arange(nsub, dtype=jnp.int32)).sum(-1)        # (B, T, nch)
