@@ -357,7 +357,10 @@ def _segment_sum_sorted(keys: jax.Array, vals: jax.Array,
 
     is_end = jnp.concatenate(
         [keys_s[:-1] != keys_s[1:], jnp.ones((1,), bool)])
-    end_idx = jnp.where(is_end, keys_s, num_segments)   # OOB → dropped
+    # non-end rows dump to DISTINCT out-of-range slots so the
+    # unique_indices promise holds (all indices differ, drops mask OOB)
+    oob = num_segments + jnp.arange(M, dtype=keys_s.dtype)
+    end_idx = jnp.where(is_end, keys_s, oob)
     return jnp.zeros((num_segments, A), vals.dtype).at[end_idx] \
         .set(acc, mode="drop", unique_indices=True)
 

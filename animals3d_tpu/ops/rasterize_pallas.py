@@ -73,6 +73,7 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
                    nsub: int = NSUB):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    T = pl.num_programs(1)
 
     z_ref[...] = jnp.full_like(z_ref, _BIG)
     id_ref[...] = jnp.zeros_like(id_ref)
@@ -80,13 +81,17 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
     # per-tile chunk lists are capped at kmax (SMEM budget); a tile that
     # overlaps more chunks falls back to scanning all of them. Each SMEM
     # entry packs the chunk id (low 16 bits) and an NSUB-bit mask of which
-    # sub-blocks' bboxes overlap this tile (high bits).
+    # sub-blocks' bboxes overlap this tile (high bits). The list tensor is
+    # FLAT (B*T*kmax,) so SMEM lane padding (last dim rounded to 128) is
+    # paid once globally, not per (b, i) row — kmax < 128 is now a real
+    # budget, not a floor.
     n_raw = cnt_ref[b, i]
     use_ids = n_raw <= kmax
     n = jnp.where(use_ids, n_raw, nch)
+    row = (b * T + i) * kmax
 
     def entry_of(k):
-        v = ids_ref[b, i, jnp.minimum(k, kmax - 1)]
+        v = ids_ref[row + jnp.minimum(k, kmax - 1)]
         cid = jnp.where(use_ids, v & 0xFFFF, k)
         m8 = jnp.where(use_ids, v >> 16, (1 << nsub) - 1)
         return cid, m8
@@ -142,10 +147,15 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
                 gid = jnp.min(jnp.where(zc <= gz, ids[None, :], _BIG),
                               axis=1, keepdims=True)
                 zr = z_ref[0]
-                take = gz < zr
+                gi = gid.astype(jnp.int32) + 1
+                # exact-z ties resolve to the globally smallest ORIGINAL
+                # face id (matches ops.rasterize regardless of the Morton
+                # chunk visit order); the zr < _BIG guard keeps the
+                # empty-vs-empty case from comparing saturated ids
+                take = (gz < zr) | ((gz == zr) & (zr < _BIG)
+                                    & (gi < id_ref[0]))
                 z_ref[0] = jnp.where(take, gz, zr)
-                id_ref[0] = jnp.where(take, gid.astype(jnp.int32) + 1,
-                                      id_ref[0])
+                id_ref[0] = jnp.where(take, gi, id_ref[0])
 
         # refill this ring slot only after the compute above consumed it
         @pl.when(k + NBUF < n)
@@ -345,12 +355,14 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     m8 = (ov_sub.astype(jnp.int32)
           << jnp.arange(nsub, dtype=jnp.int32)).sum(-1)        # (B, T, nch)
     overlap = m8 > 0
-    # SMEM lists are lane-padded to 128 entries; keep (B, T, kmax) under
-    # the ~1 MB SMEM budget in padded units
-    kmax = min(nch, max(128, (960 * 1024 // 4) // (B * T) // 128 * 128))
+    # the flat (B*T*kmax,) list pays SMEM lane padding once globally, so
+    # the ~1 MB SMEM budget divides exactly; tiles whose true chunk count
+    # exceeds kmax fall back to the in-kernel full scan
+    kmax = max(1, min(nch, (960 * 1024 // 4) // (B * T)))
     order = jnp.argsort(~overlap, axis=-1, stable=True).astype(jnp.int32)
     order = order[..., :kmax]
-    order = order | (jnp.take_along_axis(m8, order, axis=-1) << 16)
+    order = (order | (jnp.take_along_axis(m8, order, axis=-1) << 16)) \
+        .reshape(B * T * kmax)
     counts = overlap.sum(-1).astype(jnp.int32)
 
     z, fid = _pallas_visibility(order, counts, P, A8, B=B, n_pix=n_pix, T=T,
@@ -468,14 +480,14 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     m8 = (ov_sub.astype(jnp.int32)
           << jnp.arange(nsub, dtype=jnp.int32)).sum(-1)        # (B, T, nch)
     overlap = m8 > 0
-    # SMEM budget: ids (B, T, kmax) i32 well under the ~1 MB SMEM limit;
-    # beyond-kmax tiles fall back to a full chunk scan
-    # SMEM lists are lane-padded to 128 entries; keep (B, T, kmax) under
-    # the ~1 MB SMEM budget in padded units
-    kmax = min(nch, max(128, (960 * 1024 // 4) // (B * T) // 128 * 128))
+    # the flat (B*T*kmax,) list pays SMEM lane padding once globally, so
+    # the ~1 MB SMEM budget divides exactly; tiles whose true chunk count
+    # exceeds kmax fall back to the in-kernel full scan
+    kmax = max(1, min(nch, (960 * 1024 // 4) // (B * T)))
     order = jnp.argsort(~overlap, axis=-1, stable=True).astype(jnp.int32)
     order = order[..., :kmax]
-    order = order | (jnp.take_along_axis(m8, order, axis=-1) << 16)
+    order = (order | (jnp.take_along_axis(m8, order, axis=-1) << 16)) \
+        .reshape(B * T * kmax)
     counts = overlap.sum(-1).astype(jnp.int32)                 # (B, T)
 
     z, fid = _pallas_visibility(order, counts, P, A, B=B, n_pix=n_pix, T=T,

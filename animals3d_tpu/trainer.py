@@ -226,7 +226,7 @@ class Trainer:
         light = None if aux.get("light_params") is None else \
             jnp.asarray(aux["light_params"][:1])
         cvec = None if aux.get("class_vector") is None else \
-            jnp.asarray(aux["class_vector"])
+            jnp.asarray(aux["class_vector"][:1])
         shape1 = shape.first_n(1)
 
         angles = np.linspace(0, 2 * np.pi, num_frames, endpoint=False)
