@@ -46,6 +46,44 @@ def line_segment_distance(a, b, points, sqrt=True):
     return jnp.sqrt(d2 + 1e-6) if sqrt else d2
 
 
+def sample_farthest_points(pts, k: int, valid=None, start=None):
+    """Farthest-point subsample: (B, N, 3) → ((B, k, 3), (B, k) indices).
+
+    Reference `geometry/util.py:5-27` (channel-first (B, 3, N) layout,
+    random start via `torch.randint`). TPU redesign: static k, lax.fori_loop
+    with an (B, N) running-min distance carry, optional validity mask
+    (invalid points can never be selected), deterministic first-valid start
+    unless `start` (B,) indices are given. NOTE: the reference's production
+    path never enables FPS (`estimate_bones(resample=False)` at every call
+    site, `InstancePredictorBase.py:321,330`), so this exists for API parity
+    and for callers that want cheaper bone estimation on huge meshes.
+    """
+    B, N, _ = pts.shape
+    if valid is None:
+        valid = jnp.ones((B, N), bool)
+    big = jnp.asarray(1e30, pts.dtype)
+    if start is None:
+        start = jnp.argmax(valid, axis=1).astype(jnp.int32)   # first valid
+
+    sel = jnp.zeros((B, k), jnp.int32).at[:, 0].set(start)
+    first = jnp.take_along_axis(pts, start[:, None, None], 1)  # (B,1,3)
+    dist = jnp.linalg.norm(pts - first, axis=-1)
+    dist = jnp.where(valid, dist, -big)                        # never picked
+
+    def body(i, carry):
+        dist, sel = carry
+        idx = jnp.argmax(dist, axis=1).astype(jnp.int32)
+        sel = sel.at[:, i].set(idx)
+        p = jnp.take_along_axis(pts, idx[:, None, None], 1)
+        d_new = jnp.linalg.norm(pts - p, axis=-1)
+        dist = jnp.minimum(dist, jnp.where(valid, d_new, -big))
+        return dist, sel
+
+    _, sel = lax.fori_loop(1, k, body, (dist, sel))
+    out = jnp.take_along_axis(pts, sel[..., None], 1)
+    return out, sel
+
+
 def euler_angles_to_matrix(angles, convention: str = "XYZ"):
     """(..., 3) Euler angles → (..., 3, 3), matching PyTorch3D semantics
     (vendored by the reference at `skinning.py:285-340`)."""
@@ -94,12 +132,24 @@ def estimate_bones(verts: jax.Array, v_valid: jax.Array, n_body_bones: int,
                    body_bones_mode: str = "z_minmax_y+",
                    attach_legs_to_body: bool = True,
                    bone_y_threshold: Optional[float] = None,
-                   legs_to_body_joint_indices=None):
+                   legs_to_body_joint_indices=None,
+                   resample: bool = False):
     """Estimate bones from (B, F, V, 3) vertices. Returns
-    (bones (B, F, K, 2, 3), BoneStructure). All outputs stop-gradient."""
+    (bones (B, F, K, 2, 3), BoneStructure). All outputs stop-gradient.
+
+    resample: FPS-subsample to V//4 points first (reference
+    `skinning.py:65-68`; OFF at every reference call site — the full
+    vertex set is the parity default)."""
     verts = lax.stop_gradient(verts)
     B, F, V, _ = verts.shape
     valid = jnp.broadcast_to(v_valid[None, None, :], (B, F, V))
+    if resample:
+        flat = verts.reshape(B * F, V, 3)
+        fval = valid.reshape(B * F, V)
+        sub, sel = sample_farthest_points(flat, max(V // 4, 1), valid=fval)
+        verts = sub.reshape(B, F, -1, 3)
+        valid = jnp.take_along_axis(fval, sel, 1).reshape(B, F, -1)
+        V = verts.shape[2]
     big = 1e6
 
     xs, ys, zs = verts[..., 0], verts[..., 1], verts[..., 2]

@@ -138,3 +138,33 @@ def test_jit_and_batch():
 
     out = run(verts)
     assert out.shape == (2, 1, 600 + 4 * 75, 3)
+
+
+def test_sample_farthest_points_spread_and_mask():
+    rng = np.random.default_rng(3)
+    # two tight clusters far apart; FPS must alternate between them early
+    a = rng.normal(0, 0.01, (40, 3)) + np.array([5.0, 0, 0])
+    b = rng.normal(0, 0.01, (40, 3)) - np.array([5.0, 0, 0])
+    pts = jnp.asarray(np.concatenate([a, b]).astype(np.float32))[None]
+    out, sel = sk.sample_farthest_points(pts, 8)
+    s = np.asarray(sel[0])
+    assert len(set(s.tolist())) == 8                      # no duplicates
+    signs = np.sign(np.asarray(out[0, :, 0]))
+    assert (signs > 0).any() and (signs < 0).any()        # both clusters hit
+
+    # masked points are never selected
+    valid = np.ones(80, bool)
+    valid[:40] = False                                    # cluster a invalid
+    _, sel_m = sk.sample_farthest_points(pts, 8, valid=jnp.asarray(valid)[None])
+    assert (np.asarray(sel_m[0]) >= 40).all()
+
+
+def test_estimate_bones_resample():
+    pts = _quadruped_cloud(600)
+    verts = jnp.asarray(pts)[None, None]
+    valid = jnp.ones(pts.shape[0], bool)
+    bones, structure = sk.estimate_bones(verts, valid, 8, 4, 3, resample=True)
+    assert bones.shape == (1, 1, 20, 2, 3)
+    # subsampled skeleton should land near the full-set skeleton
+    bones_full, _ = sk.estimate_bones(verts, valid, 8, 4, 3)
+    assert np.abs(np.asarray(bones) - np.asarray(bones_full)).max() < 0.5
