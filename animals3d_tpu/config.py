@@ -143,14 +143,30 @@ def _parse_override_value(text: str) -> Any:
 
 
 def apply_overrides(cfg: dict, overrides: list[str]) -> dict:
+    """Dotlist overrides with Hydra's strictness: overriding a key that is
+    absent from the composed config raises (typos don't vanish silently);
+    prefix with ``+``/``++`` to add a new key (Hydra 1.3 semantics)."""
     for ov in overrides:
         if "=" not in ov:
             raise ValueError(f"override must be key=value, got {ov!r}")
         key, val = ov.split("=", 1)
+        allow_new = key.startswith("+")
+        key = key.lstrip("+")
         parts = key.split(".")
         node = cfg
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
+        for i, p in enumerate(parts[:-1]):
+            if p not in node or not isinstance(node[p], dict):
+                if not allow_new:
+                    raise KeyError(
+                        f"override {ov!r}: '{'.'.join(parts[:i + 1])}' not in "
+                        f"the composed config (use +{key}=... to add)")
+                node = node.setdefault(p, {})
+            else:
+                node = node[p]
+        if parts[-1] not in node and not allow_new:
+            raise KeyError(
+                f"override {ov!r}: '{key}' not in the composed config "
+                f"(use +{key}=... to add)")
         node[parts[-1]] = _parse_override_value(val)
     return cfg
 

@@ -47,6 +47,12 @@ from animals3d_tpu.utils.smooth_loss import smooth_loss
 class OptimizerConfig:
     lr: float = 0.0001
     weight_decay: float = 0.0
+    # MultiStepLR equivalent (`AnimalModel.py:21-27,102-105`): lr × gamma at
+    # each milestone iteration (the reference steps schedulers per iteration,
+    # `Trainer.py:305`)
+    use_scheduler: bool = False
+    scheduler_milestone: tuple = (1, 2, 3, 4, 5)
+    scheduler_gamma: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

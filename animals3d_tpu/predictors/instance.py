@@ -154,6 +154,12 @@ class InstancePredictor(nn.Module):
             pose.max_trans_z_range_ratio], np.float32) * half_range
         if pose.rot_rep not in ("quadlookat", "octlookat"):
             raise NotImplementedError(pose.rot_rep)
+        if cfg.cfg_articulation.enable_refine:
+            # refine nets (`InstancePredictorBase.py:219-233`) are disabled
+            # in every reference config; error rather than silently ignore
+            raise NotImplementedError(
+                "enable_refine is not implemented (disabled in all "
+                "reference configs)")
         pose_cout = 4 * self.num_pose_hypos + 3
         self.netPose = Encoder32(cout=pose_cout, nf=256)
 

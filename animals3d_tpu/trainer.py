@@ -82,9 +82,16 @@ def make_optimizer(model, params):
         return jax.tree_util.tree_map_with_path(label, params)
 
     def adam(cfg):
+        lr = cfg.lr
+        if getattr(cfg, "use_scheduler", False):
+            # MultiStepLR: lr × gamma at each milestone iteration
+            # (`AnimalModel.py:102-105` + per-iteration step `Trainer.py:305`)
+            lr = optax.piecewise_constant_schedule(
+                cfg.lr, {int(m): cfg.scheduler_gamma
+                         for m in cfg.scheduler_milestone})
         if cfg.weight_decay:
-            return optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
-        return optax.adam(cfg.lr)
+            return optax.adamw(lr, weight_decay=cfg.weight_decay)
+        return optax.adam(lr)
 
     transforms = {
         "base": adam(model.cfg_optim_base),
@@ -265,6 +272,22 @@ class Trainer:
                                              static_argnums=())
         return self._train_steps[key]
 
+    def _eval_step_for(self, it):
+        """Jitted eval-mode forward returning aux (phase-keyed cache)."""
+        phase = self.model.phase_for_iter(it, is_training=False)
+        key = ("eval", phase.key)
+        if key not in self._train_steps:
+            model = self.model
+
+            def eval_step(params, batch, total_iter, rng, grid):
+                _, (_metrics, aux) = model.forward(params, batch, total_iter,
+                                                   rng, phase, grid)
+                return aux
+
+            self._train_steps[key] = jax.jit(eval_step)
+        grid, _, _ = self.model.grid_for_phase(phase)
+        return self._train_steps[key], grid
+
     def _disc_step_for(self):
         """Separate jitted GAN discriminator step (`Trainer.py:248-259`)."""
         if self._disc_step is None:
@@ -377,6 +400,23 @@ class Trainer:
                     writer.add_scalar("train/speed", metrics.speed.get(),
                                       total_iter)
                 self.metrics_trace.push(epoch, "train", host_metrics)
+
+            if cfg.save_train_result_freq and \
+                    total_iter % cfg.save_train_result_freq == 0 and \
+                    jax.process_index() == 0:
+                # eval-mode forward on the current batch, artifacts to
+                # train_results/ (`Trainer.py:281-284`)
+                from animals3d_tpu.utils import results_io
+                train_result_dir = os.path.join(cfg.checkpoint_dir,
+                                                "train_results")
+                os.makedirs(train_result_dir, exist_ok=True)
+                eval_fn, eval_grid = self._eval_step_for(total_iter - 1)
+                aux = jax.device_get(eval_fn(params, device_batch,
+                                             total_iter - 1, step_rng,
+                                             eval_grid))
+                results_io.save_results(self.model, batch, aux,
+                                        train_result_dir,
+                                        start_index=total_iter)
 
             if cfg.log_image_freq and total_iter % cfg.log_image_freq == 0 \
                     and self.cfg_model_enable_render():

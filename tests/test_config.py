@@ -55,3 +55,59 @@ def test_in_range():
     assert not config.in_range(10, (0, 10))
     assert config.in_range(10**9, (0, float("inf")))
     assert config.in_range(3, (-1, 10), default_indicator=-1)
+
+
+def test_override_unknown_key_raises():
+    import pytest
+    with pytest.raises(KeyError):
+        config.load_config("train_magicpony_horse",
+                           overrides=["dataset.batch_sizee=3"])
+    with pytest.raises(KeyError):
+        config.load_config("train_magicpony_horse",
+                           overrides=["model.cfg_predictor_base.typo=1"])
+    # + prefix adds new keys (Hydra semantics)
+    cfg = config.load_config("train_magicpony_horse",
+                             overrides=["+custom.flag=7"])
+    assert cfg["custom"]["flag"] == 7
+
+
+def test_optimizer_scheduler_multistep():
+    """MultiStepLR equivalent: lr × gamma at milestone iterations."""
+    import jax.numpy as jnp
+    import optax
+    from animals3d_tpu.models.animal import OptimizerConfig
+    from animals3d_tpu.trainer import make_optimizer
+
+    class _M:
+        cfg_optim_base = OptimizerConfig(lr=1.0, use_scheduler=True,
+                                         scheduler_milestone=(2,),
+                                         scheduler_gamma=0.5)
+        cfg_optim_instance = OptimizerConfig(lr=1.0)
+        frozen_param = None
+
+    params = {"netBase": {"w": jnp.zeros(3)},
+              "netInstance": {"w": jnp.zeros(3)}}
+    opt = make_optimizer(_M(), params)
+    state = opt.init(params)
+    grads = {"netBase": {"w": jnp.ones(3)}, "netInstance": {"w": jnp.ones(3)}}
+    steps = []
+    for _ in range(4):
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        steps.append(float(-updates["netBase"]["w"][0]))
+    # adam with constant grads updates by ~lr each step; milestone at
+    # count=2 halves it from the 3rd update on
+    assert abs(steps[0] - 1.0) < 1e-4 and abs(steps[1] - 1.0) < 1e-4
+    assert abs(steps[2] - 0.5) < 1e-4 and abs(steps[3] - 0.5) < 1e-4
+
+
+def test_enable_refine_rejected():
+    import pytest
+    from animals3d_tpu.models import build_model
+    cfg = config.load_config(
+        "train_magicpony_horse",
+        overrides=["model.cfg_predictor_instance.cfg_articulation.enable_refine=true"])
+    with pytest.raises(NotImplementedError):
+        m = build_model({**dict(cfg["model"]), "dataset": cfg["dataset"]})
+        import jax
+        m.init_params(jax.random.PRNGKey(0))

@@ -39,7 +39,7 @@ def _cfg(synth_dir, ckpt_dir, extra=()):
 
 def test_train_loop_and_resume(synth_dir, tmp_path):
     ckpt_dir = str(tmp_path / "ckpt")
-    cfg = _cfg(synth_dir, ckpt_dir)
+    cfg = _cfg(synth_dir, ckpt_dir, extra=["save_train_result_freq=3"])
     model_cfg = dict(cfg["model"])
     model_cfg["dataset"] = cfg["dataset"]
     model = build_model(model_cfg)
@@ -53,6 +53,11 @@ def test_train_loop_and_resume(synth_dir, tmp_path):
         data = json.load(f)
     losses = [m["loss"] for m in data["train"]]
     assert all(np.isfinite(l) for l in losses)
+
+    # save_train_result_freq wrote eval-mode artifacts (`Trainer.py:281-284`)
+    train_res = os.path.join(ckpt_dir, "train_results")
+    assert os.path.isdir(train_res) and \
+        any(f.endswith("_mesh.obj") for f in os.listdir(train_res))
 
     # resume: second trainer starts from the saved iteration
     cfg2 = _cfg(synth_dir, ckpt_dir, extra=["num_iters=4"])
