@@ -65,6 +65,13 @@ class ImageDataset:
             # (`ImageDataset.py:31-32`, `AnimalModel.py:535`)
             clusters = util.load_image(stem + "clusters.png", size)
 
+        bg = None
+        if self.load_background:
+            # shared full-frame background cropped to this sample's box
+            # (`ImageDataset.py:65-69`)
+            bg_path = os.path.join(os.path.dirname(stem), "background_frame.jpg")
+            bg = util.crop_image(bg_path, box[None, 1:5], size)[0]
+
         sample = {
             "images": image[None],            # (F=1, 3, H, W)
             "masks": mask[None],
@@ -72,7 +79,7 @@ class ImageDataset:
             "mask_valid": mask_valid[None],
             "flows": None,
             "bboxs": box[None],
-            "bg_images": None,
+            "bg_images": None if bg is None else bg[None],
             "dino_features": None if dino is None else dino[None],
             "dino_clusters": None if clusters is None else clusters[None],
             "seq_idx": np.int32(index),

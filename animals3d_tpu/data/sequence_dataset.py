@@ -95,10 +95,18 @@ class NFrameSequenceDataset:
                 util.dino_loader(s + f"feat{self.dino_feature_dim}.png",
                                  self.dino_feature_dim) for s in stems])
 
+        bg = None
+        if self.load_background:
+            # per-sequence full-frame background cropped to each frame's box
+            # (`SequenceDataset.py:136-140`)
+            bg_path = os.path.join(os.path.dirname(stems[0]),
+                                   "background_frame.jpg")
+            bg = util.crop_image(bg_path, boxes[:, 1:5], size)
+
         sample = {
             "images": images, "masks": masks, "mask_dt": mask_dt,
             "mask_valid": mask_valid, "flows": flows, "bboxs": boxes,
-            "bg_images": None, "dino_features": dino, "dino_clusters": None,
+            "bg_images": bg, "dino_features": dino, "dino_clusters": None,
             "seq_idx": np.int32(seq_idx),
             "frame_idx": np.arange(start, start + n, dtype=np.int32),
         }
@@ -116,7 +124,7 @@ class NFrameSequenceDataset:
                     out[:pad] = 0
                 return out
             for k in ("images", "masks", "mask_dt", "mask_valid", "bboxs",
-                      "dino_features"):
+                      "bg_images", "dino_features"):
                 if sample[k] is not None:
                     sample[k] = pad_front(sample[k])
             if sample["flows"] is not None:

@@ -36,6 +36,14 @@ def _write_sample(stem: str, size: int, dino_dim: int, rng):
     Image.fromarray(feat).save(stem + f"feat{dino_dim}.png")
 
 
+def _write_background(dir_path: str, rng):
+    """Shared full-frame background (crop boxes reach 100+512 px)."""
+    full = rng.uniform(0.05, 0.25, (640, 640, 3)).astype(np.float32)
+    full += np.linspace(0, 0.3, 640)[None, :, None]
+    Image.fromarray((np.clip(full, 0, 1) * 255).astype(np.uint8)) \
+        .save(os.path.join(dir_path, "background_frame.jpg"))
+
+
 def _write_flow(stem: str, size: int, rng):
     flow = (rng.uniform(0.45, 0.55, (size, size, 3)) * 65535).astype(np.uint16)
     Image.fromarray(flow[:, :, 0]).save(stem + "flow.png")  # placeholder 1ch
@@ -52,10 +60,12 @@ def write_synth_dataset(out_dir: str, n: int = 8, size: int = 256,
             os.makedirs(d, exist_ok=True)
             for f in range(frames):
                 _write_sample(os.path.join(d, f"{f:06d}_"), size, dino_dim, rng)
+            _write_background(d, rng)
     else:
         for i in range(n):
             _write_sample(os.path.join(out_dir, f"{i:06d}_"), size, dino_dim,
                           rng)
+        _write_background(out_dir, rng)
     return out_dir
 
 

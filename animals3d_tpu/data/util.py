@@ -34,6 +34,22 @@ def load_image(path, size, mode="RGB", resample=Image.BILINEAR):
     return arr                                    # (C, H, W)
 
 
+def crop_image(path, boxs, size) -> np.ndarray:
+    """Crop per-frame boxes [x0, y0, w, h] out of one full-frame image and
+    resize each crop to (size, size) → (F, 3, size, size) float in [0, 1].
+
+    Reference `util.py:21-28` (torchvision `resized_crop` per box, bilinear);
+    used to cut the shared `background_frame.jpg` to each sample's crop
+    window (`ImageDataset.py:65-69`, `SequenceDataset.py:136-140`)."""
+    img = Image.open(path).convert("RGB")
+    out = []
+    for x0, y0, w, h in np.asarray(boxs, np.int64):
+        crop = img.crop((x0, y0, x0 + w, y0 + h)) \
+            .resize((size, size), Image.BILINEAR)
+        out.append(np.asarray(crop, np.float32).transpose(2, 0, 1) / 255.0)
+    return np.stack(out)
+
+
 def compute_distance_transform(mask: np.ndarray) -> np.ndarray:
     """(1, H, W) binary → (2, H, W): [dt(mask), dt(1-mask)]."""
     from animals3d_tpu import native

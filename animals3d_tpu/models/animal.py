@@ -327,6 +327,12 @@ class AnimalModel:
             xs = (jnp.arange(w) // 8)[None, :]
             checker = ((ys + xs) % 2).astype(dtype) * 0.5 + 0.25
             return jnp.broadcast_to(checker[None, :, :, None], (N, h, w, 3))
+        if mode in ("background", "input"):
+            # the training forward passes the real background explicitly;
+            # contexts without one (turntables, prior renders) fall back to
+            # black rather than raising (the reference raises here,
+            # `AnimalModel.py:226-233` — these modes never reach its render)
+            return jnp.zeros((N, h, w, 3), dtype)
         raise NotImplementedError(mode)
 
     def render(self, params, render_modes, shape, mvp, w2c, campos,
@@ -413,11 +419,29 @@ class AnimalModel:
             render_modes = ["shaded", "dino_pred"] + \
                 (["flow"] if render_flow else [])
             r_mvp, r_w2c, r_campos = self.render_cameras(mvp, w2c, campos)
+            # real-background modes: composite the shaded buffer over the
+            # input image or the dataset's cropped background frame (the
+            # rgb loss is unmasked for these modes, `AnimalModel.py:271-282`)
+            background = None
+            bg_mode = self.cfg_render.background_mode
+            if bg_mode in ("background", "input") and B * F == N_out:
+                if bg_mode == "input":
+                    bg_src = image_gt
+                else:
+                    bg_src = batch.get("bg_images")
+                    if bg_src is None:
+                        raise ValueError(
+                            "background_mode=background needs bg_images "
+                            "(dataset background_frame.jpg)")
+                    if bg_src.shape[-1] != w:
+                        bg_src = expand_bf(resize_nchw(
+                            collapse_bf(bg_src), (h, w)), B, F)
+                background = collapse_bf(bg_src).transpose(0, 2, 3, 1)
             renders = self.render(
                 params, render_modes, shape, r_mvp, r_w2c, r_campos, (h, w),
                 im_features=im_features, light_params=light_params,
                 prior_mesh=prior_mesh, use_dino=True, num_frames=F,
-                class_vector=class_vector)
+                class_vector=class_vector, background=background)
             shaded = expand_bf(renders["shaded"], B, F)
             dino_pred = expand_bf(renders["dino_pred"], B, F)
             flow_pred = expand_bf(renders["flow"], B, F)[:, :-1] \

@@ -108,3 +108,43 @@ def test_phase_schedule(model):
     assert p2.attach_legs
     p3 = model.phase_for_iter(120000)
     assert not p3.use_coarse_grid and p3.deform_on
+
+
+def test_background_modes_input_and_background():
+    """background_mode input|background: shaded composites over a real image
+    and the rgb loss is unmasked (`AnimalModel.py:271-282`)."""
+    for mode, with_bg in (("input", False), ("background", True)):
+        cfg = cfglib.load_config(
+            "train_magicpony_horse",
+            overrides=TINY_OVERRIDES + [
+                f"model.cfg_render.background_mode={mode}",
+                f"dataset.background_mode={mode}"])
+        cfg["model"]["dataset"] = cfg["dataset"]
+        m = build_model(cfg["model"])
+        params = m.init_params(jax.random.PRNGKey(0))
+        batch = _fake_batch(3)
+        if with_bg:
+            batch["bg_images"] = batch["images"] * 0.0 + 0.75
+        phase = m.phase_for_iter(20000)
+        loss, (metrics, aux) = jax.jit(
+            lambda p, b, r: m.forward(p, b, 20000, r, phase))(
+            params, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+        # outside the silhouette the prediction equals the background, so
+        # the unmasked rgb loss sees it: shaded buffer must not be black
+        # everywhere outside the mask
+        img = np.asarray(aux["image_pred"])         # (B, F, 3, H, W)
+        mask = np.asarray(aux["mask_pred"])         # (B, F, H, W)
+        outside = img[np.broadcast_to((mask < 0.5)[:, :, None], img.shape)]
+        assert outside.mean() > 0.05, f"{mode}: background not composited"
+
+
+def test_image_dataset_loads_background(tmp_path):
+    from animals3d_tpu.data.synth import write_synth_dataset
+    from animals3d_tpu.data.image_dataset import ImageDataset
+    d = write_synth_dataset(str(tmp_path / "s"), n=2, size=64, dino_dim=4)
+    ds = ImageDataset(d, in_image_size=64, out_image_size=64,
+                      load_background=True)
+    s = ds[0]
+    assert s["bg_images"].shape == (1, 3, 64, 64)
+    assert 0.0 < s["bg_images"].mean() < 1.0
