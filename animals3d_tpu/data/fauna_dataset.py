@@ -67,7 +67,30 @@ class FaunaDataset:
         self._image_ds.samples = []
 
     @staticmethod
-    def _parse_categories(root):
+    def _collect_stems(path):
+        stems = sorted(glob(os.path.join(path, "**/*rgb.jpg"), recursive=True))
+        return [p[:-len("rgb.jpg")] for p in stems]
+
+    @staticmethod
+    def _more_back_views(back_stems, stems):
+        """Oversample back-view images to ~4/5 of the category size.
+
+        Reference `FaunaDataset._more_back_views`
+        (`/root/reference/model/dataset/FaunaDataset.py:313-323`): the back
+        views are cyclically repeated to `(len(seq)//5)*4` entries and
+        prepended, so categories with a `<root>_back` sibling tree see
+        roughly 4 back views for every 5 regular images.
+        """
+        if not back_stems:
+            return []
+        factor = 5
+        length = (len(stems) // factor) * (factor - 1)
+        mul_f = length // len(back_stems)
+        pad_f = length % len(back_stems)
+        return mul_f * back_stems + back_stems[:pad_f]
+
+    @classmethod
+    def _parse_categories(cls, root):
         categories = {}
         roots = []
         for sub in sorted(glob(os.path.join(root, "*"))):
@@ -78,15 +101,23 @@ class FaunaDataset:
         if not roots:
             roots = [root]
         for r in roots:
+            # `few_shot_*_back` trees are oversampling sources for the
+            # sibling root, not categories themselves
+            # (`FaunaDataset.py:62-66,103-110`).
+            if os.path.basename(r).endswith("_back"):
+                continue
             for cat_dir in sorted(glob(os.path.join(r, "*"))):
                 if not os.path.isdir(cat_dir):
                     continue
-                stems = sorted(glob(os.path.join(cat_dir, "**/*rgb.jpg"),
-                                    recursive=True))
-                stems = [p[:-len("rgb.jpg")] for p in stems]
-                if stems:
-                    name = os.path.basename(cat_dir)
-                    categories.setdefault(name, []).extend(stems)
+                stems = cls._collect_stems(cat_dir)
+                if not stems:
+                    continue
+                name = os.path.basename(cat_dir)
+                back_dir = os.path.join(r + "_back", name)
+                if os.path.isdir(back_dir):
+                    back = cls._collect_stems(back_dir)
+                    stems = cls._more_back_views(back, stems) + stems
+                categories.setdefault(name, []).extend(stems)
         return categories
 
     def set_epoch(self, epoch):

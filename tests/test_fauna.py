@@ -21,7 +21,7 @@ TINY_FAUNA = [
     "model.cfg_predictor_base.cfg_dino.hidden_size=32",
     "model.cfg_predictor_base.cfg_dino.feature_dim=4",
     "model.cfg_predictor_base.cfg_bank.memory_bank_size=14",
-    "model.cfg_predictor_base.cfg_bank.memory_bank_topk=3",
+    "+model.cfg_predictor_base.cfg_bank.memory_bank_topk=3",
     "model.cfg_predictor_instance.cfg_encoder.cout=32",
     "model.cfg_predictor_instance.cfg_texture.num_layers=2",
     "model.cfg_predictor_instance.cfg_texture.hidden_size=32",
@@ -129,6 +129,31 @@ def test_fauna_dataset_single_category_batches(tmp_path):
     # all categories visited across consecutive blocks
     seen = {int(ds[start]["bboxs"][0, 8]) for start in range(0, 6, 2)}
     assert seen == {0, 1, 2}
+
+
+def test_fauna_back_view_oversampling(tmp_path):
+    """`few_shot_*_back` sibling trees are oversampled to (n//5)*4 entries
+    and prepended (reference `FaunaDataset._more_back_views`,
+    `/root/reference/model/dataset/FaunaDataset.py:313-323`)."""
+    root = tmp_path / "fauna_ds"
+    write_synth_dataset(str(root / "few_shot_web" / "panda"), n=12, size=32,
+                        dino_dim=4)
+    write_synth_dataset(str(root / "few_shot_web_back" / "panda"), n=3,
+                        size=32, dino_dim=4)
+    write_synth_dataset(str(root / "few_shot_web" / "okapi"), n=7, size=32,
+                        dino_dim=4)  # no back tree
+    from animals3d_tpu.data.fauna_dataset import FaunaDataset
+    cats = FaunaDataset._parse_categories(str(root))
+    # `_back` trees are not categories of their own
+    assert sorted(cats) == ["okapi", "panda"]
+    # 12 regular + (12//5)*4 = 8 oversampled back views, back views first
+    assert len(cats["panda"]) == 20
+    back = [s for s in cats["panda"] if "few_shot_web_back" in s]
+    assert len(back) == 8 and cats["panda"][:8] == back
+    # cyclic repeat of the 3 back stems: 2 full + 2 pad
+    uniq = sorted(set(back))
+    assert len(uniq) == 3 and back == uniq * 2 + uniq[:2]
+    assert len(cats["okapi"]) == 7
 
 
 def test_fauna_trainer_loop_with_disc(tmp_path):

@@ -29,7 +29,7 @@ TINY_PONY = [
     "model.cfg_predictor_instance.cfg_light.num_layers=2",
     "model.cfg_predictor_instance.cfg_light.hidden_size=32",
     "model.cfg_predictor_instance.cfg_motion_vae.latent_dim=32",
-    "model.cfg_predictor_instance.cfg_motion_vae.transformer_layer_num=1",
+    "+model.cfg_predictor_instance.cfg_motion_vae.transformer_layer_num=1",
     "model.cfg_render.renderer_spp=1",
     "dataset.dino_feature_dim=4",
 ]
