@@ -24,11 +24,44 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from animals3d_tpu.precision import compute_dtype
 
 # ImageNet normalization DINO models expect
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _cubic_weights(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Torch `get_cubic_upsample_coefficients`: 4 taps at offsets -1..2
+    around floor(src), cubic-convolution kernel with A=-0.75 (torch's
+    bicubic; NOT the Keys a=-0.5 kernel `jax.image.resize` uses)."""
+    def k1(x):   # |x| <= 1
+        return ((a + 2) * x - (a + 3)) * x * x + 1
+    def k2(x):   # 1 < |x| < 2
+        return ((a * x - 5 * a) * x + 8 * a) * x - 4 * a
+    return np.stack([k2(t + 1), k1(t), k1(1 - t), k2(2 - t)], -1)
+
+
+def torch_bicubic_matrix(in_size: int, out_size: int,
+                         scale_factor: float) -> np.ndarray:
+    """(out, in) interpolation matrix reproducing
+    `F.interpolate(mode='bicubic', scale_factor=sf, align_corners=False)`:
+    src = (dst + 0.5) / sf - 0.5, 4 cubic taps, edge-clamped indices.
+    DINO resizes pos embeddings with sf = (grid + 0.1) / pos_grid
+    (facebookresearch/dino `interpolate_pos_encoding`), which the reference
+    consumes via torch.hub (`/root/reference/model/networks/encoders.py:151`).
+    Computed host-side once; inside the graph it is one constant matmul."""
+    dst = np.arange(out_size, dtype=np.float64)
+    src = (dst + 0.5) / scale_factor - 0.5
+    x0 = np.floor(src).astype(np.int64)
+    w = _cubic_weights(src - x0)                       # (out, 4)
+    mat = np.zeros((out_size, in_size), np.float64)
+    for k in range(4):
+        idx = np.clip(x0 - 1 + k, 0, in_size - 1)
+        np.add.at(mat, (dst.astype(np.int64), idx), w[:, k])
+    return mat.astype(np.float32)
 
 
 class ViTSelfAttention(nn.Module):
@@ -108,10 +141,17 @@ class DinoViT(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, self.pos_grid * self.pos_grid + 1, self.dim))
         if (gh, gw) != (self.pos_grid, self.pos_grid):
-            patch_pos = pos[:, 1:].reshape(1, self.pos_grid, self.pos_grid,
+            patch_pos = pos[:, 1:].reshape(self.pos_grid, self.pos_grid,
                                            self.dim)
-            patch_pos = jax.image.resize(patch_pos, (1, gh, gw, self.dim),
-                                         method="bicubic")
+            # DINO quirk: the *width* grid drives the height scale factor
+            # (scale_factor=(w0/√N, h0/√N) onto (H, W) axes); square inputs
+            # everywhere, so keep per-axis factors in that order.
+            wh = jnp.asarray(torch_bicubic_matrix(
+                self.pos_grid, gh, (gw + 0.1) / self.pos_grid))
+            ww = jnp.asarray(torch_bicubic_matrix(
+                self.pos_grid, gw, (gh + 0.1) / self.pos_grid))
+            patch_pos = jnp.einsum("oi,ijd->ojd", wh, patch_pos)
+            patch_pos = jnp.einsum("pj,ojd->opd", ww, patch_pos)
             pos = jnp.concatenate([pos[:, :1],
                                    patch_pos.reshape(1, gh * gw, self.dim)], 1)
 
