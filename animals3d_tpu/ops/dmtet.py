@@ -369,23 +369,40 @@ def marching_tets_lattice(pos: jax.Array, sdf: jax.Array, res: int,
 
 def sdf_bce_reg_loss_lattice(sdf: jax.Array, res: int) -> jax.Array:
     """`sdf_bce_reg_loss` for the procedural lattice — shift-based edge
-    endpoint pairing instead of 2×15M gathers."""
+    endpoint pairing instead of 2×15M gathers.
+
+    Algebraic restructure (exact, incl. gradients): per crossing edge,
+    ``bce(a, [b>0]) + bce(b, [a>0])`` equals ``softplus(±a) + softplus(±b)``
+    with the sign picked by the *neighbor's* occupancy (bce(x, t) ≡
+    softplus(x) if t==0 else softplus(-x)). So instead of evaluating a
+    transcendental per edge endpoint (2 × 7·n³ ≈ 30M at grid 128), we
+    accumulate two integer crossing-degree fields per vertex with cheap
+    shift-aligned compares/pads, then evaluate softplus(±sdf) once per
+    vertex (2 × n³ ≈ 4.3M) and weight by degree. Backward shrinks
+    identically: sigmoid per vertex instead of per edge endpoint."""
     n = res + 1
     s3 = sdf.reshape(n, n, n)
-    total = 0.0
+    occ = s3 > 0
+    sgn = jnp.sign(s3)
+    zero = jnp.zeros((), s3.dtype)
+    one = jnp.ones((), s3.dtype)
+    deg_pos = jnp.zeros((n, n, n), s3.dtype)   # crossing edges w/ neighbor > 0
+    deg_neg = jnp.zeros((n, n, n), s3.dtype)   # crossing edges w/ neighbor <= 0
     count = 0.0
     for (dx, dy, dz) in _LATTICE_DIRS:
-        a = s3[:n - dx, :n - dy, :n - dz]
-        b = s3[dx:, dy:, dz:]
-        crossing = jnp.sign(a) != jnp.sign(b)
-
-        def bce(logit, target):
-            return jnp.maximum(logit, 0) - logit * target + \
-                jnp.log1p(jnp.exp(-jnp.abs(logit)))
-
-        loss = bce(a, (b > 0).astype(sdf.dtype)) + bce(b, (a > 0).astype(sdf.dtype))
-        total = total + jnp.sum(jnp.where(crossing, loss, 0.0))
+        a_sl = (slice(0, n - dx), slice(0, n - dy), slice(0, n - dz))
+        b_sl = (slice(dx, None), slice(dy, None), slice(dz, None))
+        crossing = sgn[a_sl] != sgn[b_sl]
+        a_occ, b_occ = occ[a_sl], occ[b_sl]
+        end_pad = ((0, dx), (0, dy), (0, dz))
+        beg_pad = ((dx, 0), (dy, 0), (dz, 0))
+        deg_pos = deg_pos + jnp.pad(jnp.where(crossing & b_occ, one, zero), end_pad)
+        deg_neg = deg_neg + jnp.pad(jnp.where(crossing & ~b_occ, one, zero), end_pad)
+        deg_pos = deg_pos + jnp.pad(jnp.where(crossing & a_occ, one, zero), beg_pad)
+        deg_neg = deg_neg + jnp.pad(jnp.where(crossing & ~a_occ, one, zero), beg_pad)
         count = count + jnp.sum(crossing)
+    total = jnp.sum(jax.nn.softplus(-s3) * deg_pos
+                    + jax.nn.softplus(s3) * deg_neg)
     return total / jnp.maximum(count, 1)
 
 

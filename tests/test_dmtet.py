@@ -134,3 +134,9 @@ def test_lattice_bce_matches_generic():
     lat = dmtet.sdf_bce_reg_loss_lattice(sdf, grid.res)
     gen = dmtet.sdf_bce_reg_loss(sdf, jnp.asarray(grid.edges))
     np.testing.assert_allclose(float(lat), float(gen), rtol=1e-5)
+    # gradients of the degree-field softplus restructure must match too
+    g_lat = jax.grad(lambda s: dmtet.sdf_bce_reg_loss_lattice(s, grid.res))(sdf)
+    g_gen = jax.grad(
+        lambda s: dmtet.sdf_bce_reg_loss(s, jnp.asarray(grid.edges)))(sdf)
+    np.testing.assert_allclose(np.asarray(g_lat), np.asarray(g_gen),
+                               atol=1e-7, rtol=1e-4)
