@@ -63,19 +63,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put a host batch dict with the leading axis over dp."""
+def shard_batch(batch: dict, mesh: Mesh, allow_uneven: bool = False) -> dict:
+    """Device-put a host batch dict with the leading axis over dp.
+
+    Every ≥1-D entry must have a dp-divisible leading axis — a mis-sized
+    *training* batch is a data-pipeline bug and silently replicating it
+    would train on duplicated samples, so it raises. Eval/test loops with
+    `drop_last=False` pass `allow_uneven=True`: their final partial batch is
+    replicated (duplicated compute, correct per-sample results).
+    """
     sharding = batch_sharding(mesh)
     rep = replicated(mesh)
 
-    def put(x):
+    def put(k, x):
         if x is None:
             return None
-        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % mesh.size == 0:
+        if getattr(x, "ndim", 0) >= 1:
+            if x.shape[0] % mesh.size != 0:
+                if allow_uneven:
+                    return jax.device_put(x, rep)
+                raise ValueError(
+                    f"batch['{k}'] leading axis {x.shape[0]} is not divisible "
+                    f"by the dp mesh size {mesh.size}")
             return jax.device_put(x, sharding)
         return jax.device_put(x, rep)
 
-    return {k: put(v) for k, v in batch.items()}
+    return {k: put(k, v) for k, v in batch.items()}
 
 
 def replicate(tree, mesh: Mesh):

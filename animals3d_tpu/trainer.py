@@ -186,7 +186,8 @@ class Trainer:
                 return aux, extra
             self._eval_step[phase.key] = jax.jit(eval_fn)
         grid, _, _ = self.model.grid_for_phase(phase)
-        device_batch = meshlib.shard_batch(batch, self.mesh)
+        device_batch = meshlib.shard_batch(batch, self.mesh,
+                                           allow_uneven=True)
         aux, extra = jax.device_get(
             self._eval_step[phase.key](params, device_batch, total_iter,
                                        jax.random.PRNGKey(0), grid))
@@ -513,7 +514,8 @@ class Trainer:
         grid, _, _ = self.model.grid_for_phase(phase)
         count = 0
         for batch in test_loader:
-            device_batch = meshlib.shard_batch(batch, self.mesh)
+            device_batch = meshlib.shard_batch(batch, self.mesh,
+                                               allow_uneven=True)
             rng = jax.random.PRNGKey(cfg.seed + count)
             aux = jax.device_get(eval_step(params, device_batch, rng, grid))
             results_io.save_results(self.model, batch, aux, result_dir,
