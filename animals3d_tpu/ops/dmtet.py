@@ -68,20 +68,40 @@ class ExtractedMesh(NamedTuple):
     num_faces: jax.Array   # () i32
 
 
-def first_geq(csum: jax.Array, targets: jax.Array) -> jax.Array:
+def first_geq(csum: jax.Array, targets: jax.Array,
+              lane: int = 128) -> jax.Array:
     """For each target t, the first index i with csum[i] >= t (csum
-    non-decreasing). Vectorized binary search: log2(N) rounds of gathers —
-    the TPU-friendly way to invert a prefix sum (no sort, no scatter)."""
+    non-decreasing; returns n when t > csum[-1]).
+
+    Wide-probe hierarchical search instead of a flat binary search: TPU
+    gathers are row-descriptor-bound (~14 ns/row regardless of row width or
+    table size), so 24 rounds of 1-element probes over a 15M-entry cumsum
+    cost ~24·cap descriptors (traced at 117 ms/step at grid 128). Each
+    128-lane row gather instead resolves log2(128)=7 levels at once: build
+    a (rows, 128) pyramid (each level's row-maxima feed the next), compare
+    the ≤128 top values in-register, then one wide gather + lane-count per
+    level. 15M entries ⇒ 3 wide gathers total (measured 64 → 9 ms for
+    cap=196k)."""
     n = csum.shape[0]
-    lo = jnp.zeros_like(targets)
-    hi = jnp.full_like(targets, n)
-    for _ in range(max(1, int(np.ceil(np.log2(max(n, 2)))))):
-        mid = (lo + hi) // 2
-        v = csum[jnp.clip(mid, 0, n - 1)]
-        go_right = v < targets
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    return lo
+    levels = []
+    cur = csum
+    while cur.shape[0] > lane:
+        pad = (-cur.shape[0]) % lane
+        if pad:
+            cur = jnp.pad(cur, (0, pad), mode="edge")
+        cur2 = cur.reshape(-1, lane)
+        levels.append(cur2)
+        cur = cur2[:, -1]
+
+    t = targets[:, None]
+    beyond = targets > csum[n - 1]
+    # top level: ≤128 sorted values, direct lane compare (no gather)
+    b = jnp.sum((cur[None, :] < t).astype(jnp.int32), axis=1)
+    for lvl in reversed(levels):
+        row = lvl[jnp.minimum(b, lvl.shape[0] - 1)]       # (cap, lane)
+        cnt = jnp.sum((row < t).astype(jnp.int32), axis=1)
+        b = jnp.minimum(b, lvl.shape[0] - 1) * lane + cnt
+    return jnp.where(beyond, n, jnp.minimum(b, n))
 
 
 def marching_tets(pos: jax.Array, sdf: jax.Array, grid: TetGrid,
