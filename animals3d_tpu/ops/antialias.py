@@ -164,6 +164,26 @@ def antialias_dense(color: jax.Array, rast: Rast, v_clip: jax.Array,
     return out
 
 
+def silhouette_pair_count(rast: Rast, z_tol: float = 2e-3) -> jax.Array:
+    """(B,) number of silhouette pixel pairs the compacted `antialias` must
+    hold. Diagnostic for the `pair_cap` budget: counts above
+    `default_pair_cap(H, W)` mean overflow pairs (in raster order) silently
+    lose their silhouette gradient — monitor at training shapes."""
+    fid = lax.stop_gradient(rast.face_id)
+    z = jnp.where(fid > 0, lax.stop_gradient(rast.z), jnp.inf)
+
+    def pair_valid(fid_p, fid_q, z_p, z_q):
+        differs = fid_p != fid_q
+        any_bg = (fid_p == 0) | (fid_q == 0)
+        both_bg = (fid_p == 0) & (fid_q == 0)
+        depth_gap = jnp.abs(z_p - z_q) > z_tol
+        return differs & (any_bg | depth_gap) & ~both_bg
+
+    vh = pair_valid(fid[..., :-1], fid[..., 1:], z[..., :-1], z[..., 1:])
+    vv = pair_valid(fid[:, :-1], fid[:, 1:], z[:, :-1], z[:, 1:])
+    return vh.sum((-2, -1)) + vv.sum((-2, -1))
+
+
 def default_pair_cap(height: int, width: int) -> int:
     """Silhouette-pair slot capacity: ~16 pairs per image row covers several
     disjoint silhouettes (animal body + 4 legs against body) with slack;

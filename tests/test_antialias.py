@@ -117,3 +117,69 @@ def test_compact_matches_dense():
     gc = jax.grad(lambda vv: jnp.sum(
         antialias(color, rast, vv, f) ** 2))(v[None])
     np.testing.assert_allclose(np.asarray(gc), np.asarray(gd), atol=1e-4)
+
+
+def _two_quads(x_front_right, H=32, W=32):
+    """A front quad (z=0.3) whose right edge x_front_right lies OVER a back
+    quad (z=0.7) — the silhouette is interior (object-over-object), so pair
+    detection relies on the depth-gap criterion, not background."""
+    x = jnp.asarray(x_front_right, jnp.float32)
+    front = jnp.asarray(np.array([
+        [-2.0, -2.0, 0.3, 1.0],
+        [0.0, -2.0, 0.3, 1.0],
+        [0.0, 2.0, 0.3, 1.0],
+        [-2.0, 2.0, 0.3, 1.0],
+    ], np.float32))
+    front = front + jnp.zeros((4, 4)).at[1, 0].set(x).at[2, 0].set(x)
+    back = jnp.asarray(np.array([
+        [-3.0, -3.0, 0.7, 1.0],
+        [3.0, -3.0, 0.7, 1.0],
+        [3.0, 3.0, 0.7, 1.0],
+        [-3.0, 3.0, 0.7, 1.0],
+    ], np.float32))
+    v = jnp.concatenate([front, back], 0)
+    f = jnp.asarray(np.array([[0, 1, 2], [0, 2, 3],
+                              [4, 5, 6], [4, 6, 7]], np.int32))
+    return v, f
+
+
+def test_self_occlusion_silhouette_gradient_fd():
+    """Finite-difference validation of the depth-gap silhouette gradient
+    (VERDICT r1 weak #4): front-over-back edge, colors 1.0 vs 0.3 →
+    d(sum)/dx = H·(W/2)·Δcolor, for dense AND compacted AA."""
+    from animals3d_tpu.ops.antialias import antialias_dense
+
+    H = W = 32
+
+    def total(x, compacted):
+        v, f = _two_quads(x, H, W)
+        rast = rz.rasterize(v[None], f, jnp.ones(4, bool), (H, W))
+        color = jnp.where((rast.face_id <= 2) & (rast.face_id > 0), 1.0, 0.3)
+        color = jnp.where(rast.face_id > 0, color, 0.0)[..., None]
+        fn = antialias if compacted else antialias_dense
+        return jnp.sum(fn(color, rast, v[None], f))
+
+    x0 = 0.013
+    want = H * (W / 2) * (1.0 - 0.3)          # d(covered front px)/dx · Δc
+    for compacted in (False, True):
+        g = float(jax.grad(total)(jnp.asarray(x0), compacted))
+        np.testing.assert_allclose(g, want, rtol=0.05)
+        h = 0.004
+        fd = (float(total(jnp.asarray(x0 + h), compacted))
+              - float(total(jnp.asarray(x0 - h), compacted))) / (2 * h)
+        np.testing.assert_allclose(g, fd, rtol=0.08)
+
+
+def test_pair_count_diagnostic_and_cap_headroom():
+    from animals3d_tpu.ops.antialias import (default_pair_cap,
+                                             silhouette_pair_count)
+
+    H = W = 32
+    v, f = _two_quads(0.0, H, W)
+    rast = rz.rasterize(v[None], f, jnp.ones(4, bool), (H, W))
+    n = int(silhouette_pair_count(rast)[0])
+    # the back quad covers the whole frame, so the ONLY silhouette is the
+    # front quad's right edge over it: exactly H depth-gap pairs — without
+    # the depth-gap criterion this would be 0
+    assert n == H
+    assert n < default_pair_cap(H, W), "training-like scene must fit cap"
