@@ -32,6 +32,7 @@ Conventions (match the reference's GL pipeline):
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -43,6 +44,10 @@ class Rast(NamedTuple):
     uv: jax.Array      # (B, H, W, 2) perspective-correct barycentrics (diff'able)
     z: jax.Array       # (B, H, W) NDC depth of the hit (stop-grad)
     face_id: jax.Array  # (B, H, W) int32, face_index + 1, 0 = background
+    # Pallas-rasterizer aux for the MXU resolve backward (None elsewhere):
+    # (ids_sorted (nch, chunk) i32 original face ids in Morton-chunk order,
+    #  overlap (B, T, nch) bool tile/chunk interaction from bbox culling)
+    bw_aux: object = None
 
     @property
     def mask(self) -> jax.Array:
@@ -246,8 +251,22 @@ def resolve(attr: jax.Array, rast: Rast, v_clip: jax.Array,
     xs = ((jnp.arange(H * W, dtype=jnp.float32) % W) + 0.5)
     ys = ((jnp.arange(H * W, dtype=jnp.float32) // W) + 0.5)
 
-    def one(pf_b, sel_b):
-        rows = pf_b[sel_b.reshape(-1)]                  # (H*W, 3C [+K])
+    # the per-pixel row gather, with an MXU one-hot-matmul backward when the
+    # Pallas rasterizer threaded its chunk structure through (the autodiff
+    # transpose is a 655k-row colliding scatter-add, traced at 106 ms/step)
+    import os
+    use_pallas_bwd = (getattr(rast, "bw_aux", None) is not None
+                      and jax.default_backend() == "tpu"
+                      and os.environ.get("A3D_NO_MXU_BWD") != "1")
+    if use_pallas_bwd:
+        ids_sorted, overlap = rast.bw_aux
+        rows_all = _pixel_gather_mxu_bwd(
+            pf, sel.reshape(B, H * W), lax.stop_gradient(ids_sorted),
+            lax.stop_gradient(overlap), (H, W))
+    else:
+        rows_all = jax.vmap(lambda p, s: p[s.reshape(-1)])(pf, sel)
+
+    def one(rows, _unused=None):
         # barrier: keeps the transpose from fusing INTO the gather (a
         # transposed gather write scatters each row across 3C+K cache lines;
         # traced at 41 ms vs ~17 ms for gather + separate transpose)
@@ -285,7 +304,7 @@ def resolve(attr: jax.Array, rast: Rast, v_clip: jax.Array,
         uv = jnp.stack([u, v], 0)                       # (2, H*W)
         return uv, out, rT[3 * C:]
 
-    uv, out, fa = jax.vmap(one)(pf, sel)
+    uv, out, fa = jax.vmap(one)(rows_all)
     keepT = (fid > 0).reshape(B, 1, H * W)
     uv = jnp.where(keepT, uv, 0.0).transpose(0, 2, 1).reshape(B, H, W, 2)
     out = jnp.where(keepT, out, 0.0).transpose(0, 2, 1).reshape(B, H, W, nA)
@@ -293,6 +312,34 @@ def resolve(attr: jax.Array, rast: Rast, v_clip: jax.Array,
         return uv, out
     fa = jnp.where(keepT, fa, 0.0).transpose(0, 2, 1).reshape(B, H, W, nK)
     return uv, out, fa
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _pixel_gather_mxu_bwd(pf, sel, ids_sorted, overlap, resolution):
+    """Per-pixel row gather `pf[b, sel[b]]` whose transpose runs as the
+    Pallas one-hot-matmul kernel (`rasterize_pallas.resolve_grad_pallas`)
+    over the rasterizer's bbox-culled (tile, chunk) pairs instead of XLA's
+    colliding scatter-add. Forward is the plain gather."""
+    return jax.vmap(lambda p, s: p[s])(pf, sel)
+
+
+def _pgm_fwd(pf, sel, ids_sorted, overlap, resolution):
+    out = jax.vmap(lambda p, s: p[s])(pf, sel)
+    return out, (pf.shape, sel, ids_sorted, overlap)
+
+
+def _pgm_bwd(resolution, res, g):
+    from animals3d_tpu.ops.rasterize_pallas import resolve_grad_pallas
+    (B, F, R), sel, ids_sorted, overlap = res
+    on_tpu = jax.default_backend() == "tpu"
+    d_pf = resolve_grad_pallas(
+        g, sel, ids_sorted, overlap, resolution, F,
+        interpret=not on_tpu,
+        compute_dtype=jnp.bfloat16 if on_tpu else None)
+    return d_pf, None, None, None
+
+
+_pixel_gather_mxu_bwd.defvjp(_pgm_fwd, _pgm_bwd)
 
 
 def interpolate(attr: jax.Array, rast: Rast, faces: jax.Array) -> jax.Array:

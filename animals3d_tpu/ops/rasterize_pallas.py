@@ -372,7 +372,10 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     fid = _untile(fid, B, nty, ntx)
     z = jnp.where(fid > 0, z, 0.0)
     uv = compute_barycentrics(v_clip, faces, fid, (height, width))
-    return Rast(uv=uv, z=z, face_id=fid)
+    # thread the chunk structure out for the MXU resolve backward: original
+    # face ids per sorted chunk + the bbox-culled tile/chunk interactions
+    bw_aux = (orig.reshape(nch, chunk).astype(jnp.int32), overlap)
+    return Rast(uv=uv, z=z, face_id=fid, bw_aux=bw_aux)
 
 
 @functools.partial(jax.jit, static_argnames=("resolution", "chunk",
@@ -498,3 +501,168 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     z = jnp.where(fid > 0, z, 0.0)
     uv = compute_barycentrics(v_clip, faces, fid, (height, width))
     return Rast(uv=uv, z=z, face_id=fid)
+
+
+# ---------------------------------------------------------------------------
+# MXU resolve backward: the transpose of the per-pixel row gather
+# `pf[sel]` is a 655k-row colliding scatter-add in XLA (traced at 106 ms/step
+# at 256²×10 — row-descriptor bound, ~150 ns/row). Here it becomes a
+# one-hot matmul over the SAME bbox-culled (tile, chunk) pairs the forward
+# rasterizer visits: per pair, onehotT[face, px] = (id[face] == sel[px]) and
+# d_chunk (chunk, C) += onehotT (chunk, TP) @ gtile (TP, C) — every operand
+# lands in its natural Mosaic layout (sel rides lanes, channels ride lanes,
+# the contraction dim TP is lanes-of-LHS/sublanes-of-RHS, which is exactly
+# the MXU's A@B orientation). Face ids never touch HBM: a chunk's sorted→
+# original id column is synthesized in-kernel from the Morton block
+# permutation (BLOCK-sized runs of consecutive ids) via one iota + cpb
+# scalar selects. bf16 operands / f32 accumulate, like every other matmul
+# under the mixed-precision policy.
+# ---------------------------------------------------------------------------
+
+NBUF_BW = 2
+
+
+def _resolve_bwd_kernel(tlist_ref, tcnt_ref, permb_ref, gT_hbm, sel_hbm,
+                        out_ref, acc, gbuf, sbuf, sem_g, sem_s,
+                        *, tmax: int, T: int, blk: int, cpb: int, Rp: int):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    nch = pl.num_programs(1)
+    chunk = acc.shape[0]
+
+    n_raw = tcnt_ref[b, c]
+    use_list = n_raw <= tmax
+    n = jnp.where(use_list, n_raw, T)
+    row = (b * nch + c) * tmax
+
+    def tile_of(k):
+        v = tlist_ref[row + jnp.minimum(k, tmax - 1)]
+        return jnp.where(use_list, v, k)
+
+    def dma_g(slot, k):
+        return pltpu.make_async_copy(gT_hbm.at[b, tile_of(k)],
+                                     gbuf.at[slot], sem_g.at[slot])
+
+    def dma_s(slot, k):
+        return pltpu.make_async_copy(sel_hbm.at[b, tile_of(k)],
+                                     sbuf.at[slot], sem_s.at[slot])
+
+    for kpre in range(NBUF_BW):
+        @pl.when(kpre < n)
+        def _(kpre=kpre):
+            dma_g(kpre, kpre).start()
+            dma_s(kpre, kpre).start()
+
+    # sorted→orig id column for this chunk: cpb runs of blk consecutive ids
+    # starting at permb[c*cpb + s] (the Morton sort permutes BLOCK-sized
+    # face blocks wholesale, so ids inside a run are consecutive)
+    e = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    seg = e // blk
+    start = jnp.zeros((chunk, 1), jnp.int32)
+    for s in range(cpb):
+        start = jnp.where(seg == s, permb_ref[c * cpb + s], start)
+    ids_col = start + e % blk                          # (chunk, 1) orig ids
+
+    acc[...] = jnp.zeros_like(acc)
+
+    def body(k, _):
+        slot = k % NBUF_BW
+        dma_g(slot, k).wait()
+        dma_s(slot, k).wait()
+        gtile = gbuf[slot]                             # (TP, Cp)
+        srow = sbuf[slot][0:1]                         # (1, TP) i32
+        oneh = (ids_col == srow).astype(gtile.dtype)   # (chunk, TP)
+        acc[...] += jnp.dot(oneh, gtile,
+                            preferred_element_type=jnp.float32)
+
+        @pl.when(k + NBUF_BW < n)
+        def _():
+            dma_g(slot, k + NBUF_BW).start()
+            dma_s(slot, k + NBUF_BW).start()
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+    out_ref[...] = acc[...][:, :Rp][None, None]
+
+
+def resolve_grad_pallas(g: jax.Array, sel: jax.Array, ids_sorted: jax.Array,
+                        overlap: jax.Array, resolution: tuple[int, int],
+                        F: int, interpret: bool = False,
+                        compute_dtype=None) -> jax.Array:
+    """d_pf (B, F, R) from pixel cotangents g (B, H·W, R) and per-pixel
+    0-based original face ids sel (B, H·W) (background rows carry sel=0
+    with zero cotangent — `resolve`'s contract)."""
+    B, n_pix, R = g.shape
+    height, width = resolution
+    nty, ntx = height // TILE_H, width // TILE_W
+    T = nty * ntx
+    assert T * TP == n_pix
+    nch, chunk = ids_sorted.shape
+    Fp = nch * chunk
+    blk = min(BLOCK, chunk)
+    cpb = chunk // blk
+    nblk = Fp // blk
+
+    dt = g.dtype if compute_dtype is None else compute_dtype
+    # Mosaic DMA slices need 128-aligned minor dims: pad channels R→128
+    Rp = -(-R // 8) * 8                                # out minor (≈48)
+    Cp = 128
+    g2 = g.astype(dt)
+    if Cp != R:
+        g2 = jnp.pad(g2, ((0, 0), (0, 0), (0, Cp - R)))
+
+    # tile layouts: gT (B, T, TP, Cp) — pixels on sublanes, channels on
+    # lanes (the matmul RHS); sel (B, T, 8, TP) — pixels on lanes (the
+    # one-hot compare axis), 8 sublanes to satisfy DMA tiling, row 0 live
+    gt = g2.reshape(B, nty, TILE_H, ntx, TILE_W, Cp) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(B, T, TP, Cp)
+    st = sel.astype(jnp.int32).reshape(B, nty, TILE_H, ntx, TILE_W) \
+        .transpose(0, 1, 3, 2, 4).reshape(B, T, 1, TP)
+    st = jnp.broadcast_to(st, (B, T, 8, TP))
+
+    # per-(image, chunk) tile lists from the forward's bbox-culled overlap
+    ovT = overlap.transpose(0, 2, 1)                   # (B, nch, T)
+    tmax = max(1, min(T, (900 * 1024 // 4) // max(B * nch, 1)))
+    order = jnp.argsort(~ovT, axis=-1, stable=True).astype(jnp.int32)
+    tlist = order[..., :tmax].reshape(B * nch * tmax)
+    tcnt = ovT.sum(-1).astype(jnp.int32)               # (B, nch)
+    # first orig id of each sorted BLOCK (= perm[p]·blk)
+    permb = ids_sorted.reshape(nblk, blk)[:, 0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, nch),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # gT stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),      # sel stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 1, chunk, Rp),
+                               lambda b, c, tl, tc, pb: (b, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, Cp), jnp.float32),
+            pltpu.VMEM((NBUF_BW, TP, Cp), dt),
+            pltpu.VMEM((NBUF_BW, 8, TP), jnp.int32),
+            pltpu.SemaphoreType.DMA((NBUF_BW,)),
+            pltpu.SemaphoreType.DMA((NBUF_BW,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_resolve_bwd_kernel, tmax=tmax, T=T, blk=blk,
+                          cpb=cpb, Rp=Rp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nch, chunk, Rp), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * chunk * Cp * 8,
+            bytes_accessed=B * T * TP * (Cp * g2.dtype.itemsize + 4)
+            + B * Fp * Rp * 4,
+            transcendentals=0),
+    )(tlist, tcnt, permb, gt, st)
+
+    # sorted-chunk rows → original face order (block structure of the
+    # Morton sort: sorted j = p·blk + r ↦ original permb[p] + r)
+    d_blocks = out.reshape(B, nblk, blk * Rp)
+    invperm = jnp.argsort(permb // blk)                # orig block → sorted
+    d_orig = d_blocks[:, invperm].reshape(B, Fp, Rp)
+    return d_orig[:, :F, :R]

@@ -82,3 +82,91 @@ def test_pallas_fv_rows_path_matches_xla():
     m = fa > 0
     np.testing.assert_allclose(np.asarray(got.z)[m], np.asarray(ref.z)[m],
                                atol=1e-4)
+
+
+def test_resolve_grad_pallas_matches_scatter():
+    """The MXU one-hot-matmul backward equals the dense scatter-add
+    transpose exactly (interpret mode)."""
+    import numpy as np
+    from animals3d_tpu.ops.rasterize_pallas import resolve_grad_pallas
+
+    B, H, W, R = 2, 64, 64, 10
+    chunk, nch = 64, 2
+    Fp = chunk * nch
+    F = 100
+    n_pix = H * W
+    r = np.random.default_rng(0)
+
+    blk = 32
+    perm = r.permutation(Fp // blk)
+    ids_sorted = (perm[:, None] * blk
+                  + np.arange(blk)[None]).reshape(nch, chunk).astype(np.int32)
+
+    sel = r.integers(0, F, (B, n_pix)).astype(np.int32)
+    g = r.normal(0, 1, (B, n_pix, R)).astype(np.float32)
+    # background rows: sel 0 with zero cotangent (resolve's contract)
+    bg = r.uniform(size=(B, n_pix)) < 0.3
+    sel[bg] = 0
+    g[bg] = 0.0
+
+    # ground-truth overlap: tile t ↔ chunk c iff some pixel's face is in c
+    from animals3d_tpu.ops.rasterize_pallas import TILE_H, TILE_W
+    nty, ntx = H // TILE_H, W // TILE_W
+    T = nty * ntx
+    sel_t = sel.reshape(B, nty, TILE_H, ntx, TILE_W) \
+        .transpose(0, 1, 3, 2, 4).reshape(B, T, TILE_H * TILE_W)
+    inv = np.zeros(Fp, np.int64)
+    inv[ids_sorted.reshape(-1)] = np.arange(Fp)
+    overlap = np.zeros((B, T, nch), bool)
+    for b in range(B):
+        for t in range(T):
+            overlap[b, t, np.unique(inv[sel_t[b, t]] // chunk)] = True
+
+    d = np.asarray(resolve_grad_pallas(
+        jnp.asarray(g), jnp.asarray(sel), jnp.asarray(ids_sorted),
+        jnp.asarray(overlap), (H, W), F, interpret=True))
+
+    want = np.zeros((B, F, R), np.float32)
+    for b in range(B):
+        np.add.at(want[b], sel[b], g[b])
+    np.testing.assert_allclose(d, want, atol=1e-5, rtol=1e-5)
+
+
+def test_pixel_gather_mxu_vjp_wiring():
+    """jax.grad through the custom_vjp gather (interpret-mode backward)
+    equals the plain-gather gradient."""
+    import numpy as np
+    from animals3d_tpu.ops.rasterize import _pixel_gather_mxu_bwd
+    from animals3d_tpu.ops.rasterize_pallas import TILE_H, TILE_W
+
+    B, H, W, R = 2, 32, 64, 7
+    chunk, nch = 64, 2
+    Fp = chunk * nch
+    F = 90
+    n_pix = H * W
+    r = np.random.default_rng(3)
+
+    blk = 32
+    perm = r.permutation(Fp // blk)
+    ids_sorted = (perm[:, None] * blk
+                  + np.arange(blk)[None]).reshape(nch, chunk).astype(np.int32)
+    sel = jnp.asarray(r.integers(0, F, (B, n_pix)), dtype=jnp.int32)
+    pf = jnp.asarray(r.normal(0, 1, (B, F, R)).astype(np.float32))
+    nty, ntx = H // TILE_H, W // TILE_W
+    overlap = jnp.ones((B, nty * ntx, nch), bool)
+
+    def loss_mxu(pf):
+        rows = _pixel_gather_mxu_bwd(pf, sel, jnp.asarray(ids_sorted),
+                                     overlap, (H, W))
+        w = (jnp.arange(rows.size, dtype=jnp.float32) % 13).reshape(rows.shape)
+        return jnp.sum(rows * w)
+
+    def loss_ref(pf):
+        rows = jax.vmap(lambda p, s: p[s])(pf, sel)
+        w = (jnp.arange(rows.size, dtype=jnp.float32) % 13).reshape(rows.shape)
+        return jnp.sum(rows * w)
+
+    ga = jax.grad(loss_mxu)(pf)
+    gb = jax.grad(loss_ref)(pf)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               atol=1e-4, rtol=1e-4)
