@@ -134,12 +134,67 @@ def main():
           f"({dt / (iters * K) * 1000:.1f} ms/batch{batch}, K={K}/dispatch)",
           file=sys.stderr)
 
+    # ---- training step (fwd+bwd+optimizer): the actual workload -----------
+    import optax
+    from animals3d_tpu.trainer import make_optimizer
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _fake_batch
+
+    optimizer = make_optimizer(model, params)
+    opt_state = optimizer.init(params)
+    tbatch = _fake_batch(model, batch)
+    IT = 50000
+
+    # KT steps per dispatch (fori_loop over donated state, batch varied per
+    # step so nothing folds) — same tunnel-overhead amortization as recon
+    KT = 3 if not tiny else 2
+
+    def train_step(carry, i, rng):
+        params, opt_state, acc = carry
+        b2 = jax.tree.map(
+            lambda x: x + i.astype(x.dtype) * 1e-6
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tbatch)
+        (loss, _aux), grads = jax.value_and_grad(
+            model.forward, has_aux=True)(
+                params, b2, IT, jax.random.fold_in(rng, i), phase, grid)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, acc + loss
+
+    def train_many(params, opt_state, rng):
+        return lax.fori_loop(
+            0, KT, lambda i, c: train_step(c, i, rng),
+            (params, opt_state, 0.0))
+
+    jstep = jax.jit(train_many, donate_argnums=(0, 1))
+    t0 = time.time()
+    params, opt_state, loss = jstep(params, opt_state, jax.random.PRNGKey(1))
+    jax.block_until_ready(loss)
+    tcompile = time.time() - t0
+    for i in range(warmup):
+        params, opt_state, loss = jstep(params, opt_state,
+                                        jax.random.PRNGKey(2 + i))
+        float(loss)
+    t0 = time.time()
+    for i in range(iters):
+        params, opt_state, loss = jstep(params, opt_state,
+                                        jax.random.PRNGKey(100 + i))
+        float(loss)
+    tdt = (time.time() - t0) / (iters * KT)
+    train_imgs = batch * F / tdt
+    print(f"[bench] train step {tdt * 1000:.1f} ms/b{batch} "
+          f"-> {train_imgs:.2f} imgs/s (compile {tcompile:.1f}s, "
+          f"loss {float(loss) / KT:.3f})", file=sys.stderr)
+
     print(json.dumps({
         "metric": "single_image_recon_256_imgs_per_sec_per_chip"
         if not tiny else "single_image_recon_tiny_imgs_per_sec",
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/s/chip",
         "vs_baseline": round(imgs_per_sec / REF_A100_IMGS_PER_SEC, 3),
+        "train_step_ms": round(tdt * 1000, 1),
+        "train_imgs_per_sec": round(train_imgs, 3),
+        "train_batch": batch,
     }))
 
 
