@@ -524,7 +524,8 @@ NBUF_BW = 2
 
 def _resolve_bwd_kernel(tlist_ref, tcnt_ref, permb_ref, gT_hbm, sel_hbm,
                         out_ref, acc, gbuf, sbuf, sem_g, sem_s,
-                        *, tmax: int, T: int, blk: int, cpb: int, Rp: int):
+                        *, tmax: int, T: int, blk: int, cpb: int, Rp: int,
+                        ntx: int):
     b = pl.program_id(0)
     c = pl.program_id(1)
     nch = pl.num_programs(1)
@@ -540,8 +541,14 @@ def _resolve_bwd_kernel(tlist_ref, tcnt_ref, permb_ref, gT_hbm, sel_hbm,
         return jnp.where(use_list, v, k)
 
     def dma_g(slot, k):
-        return pltpu.make_async_copy(gT_hbm.at[b, tile_of(k)],
-                                     gbuf.at[slot], sem_g.at[slot])
+        # g stays in raster order (B, H, W, Cp) — a pixel tile is a
+        # strided (TILE_H, TILE_W, Cp) window, no XLA-side relayout
+        t = tile_of(k)
+        ty, tx = t // ntx, t % ntx
+        return pltpu.make_async_copy(
+            gT_hbm.at[b, pl.ds(ty * TILE_H, TILE_H),
+                      pl.ds(tx * TILE_W, TILE_W)],
+            gbuf.at[slot], sem_g.at[slot])
 
     def dma_s(slot, k):
         return pltpu.make_async_copy(sel_hbm.at[b, tile_of(k)],
@@ -569,7 +576,7 @@ def _resolve_bwd_kernel(tlist_ref, tcnt_ref, permb_ref, gT_hbm, sel_hbm,
         slot = k % NBUF_BW
         dma_g(slot, k).wait()
         dma_s(slot, k).wait()
-        gtile = gbuf[slot]                             # (TP, Cp)
+        gtile = gbuf[slot].reshape(TP, gbuf.shape[-1])  # (TP, Cp)
         srow = sbuf[slot][0:1]                         # (1, TP) i32
         oneh = (ids_col == srow).astype(gtile.dtype)   # (chunk, TP)
         acc[...] += jnp.dot(oneh, gtile,
@@ -611,11 +618,12 @@ def resolve_grad_pallas(g: jax.Array, sel: jax.Array, ids_sorted: jax.Array,
     if Cp != R:
         g2 = jnp.pad(g2, ((0, 0), (0, 0), (0, Cp - R)))
 
-    # tile layouts: gT (B, T, TP, Cp) — pixels on sublanes, channels on
-    # lanes (the matmul RHS); sel (B, T, 8, TP) — pixels on lanes (the
-    # one-hot compare axis), 8 sublanes to satisfy DMA tiling, row 0 live
-    gt = g2.reshape(B, nty, TILE_H, ntx, TILE_W, Cp) \
-        .transpose(0, 1, 3, 2, 4, 5).reshape(B, T, TP, Cp)
+    # g keeps raster order (B, H, W, Cp) — pixels on sublanes of each
+    # in-kernel (TILE_H·TILE_W, Cp) block, channels on lanes (matmul RHS);
+    # the kernel DMAs strided tile windows, so the only XLA-side work is
+    # the pad+cast. sel (B, T, 8, TP) — pixels on lanes (the one-hot
+    # compare axis), 8 sublanes to satisfy DMA tiling, row 0 live
+    gt = g2.reshape(B, height, width, Cp)
     st = sel.astype(jnp.int32).reshape(B, nty, TILE_H, ntx, TILE_W) \
         .transpose(0, 1, 3, 2, 4).reshape(B, T, 1, TP)
     st = jnp.broadcast_to(st, (B, T, 8, TP))
@@ -641,7 +649,7 @@ def resolve_grad_pallas(g: jax.Array, sel: jax.Array, ids_sorted: jax.Array,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((chunk, Cp), jnp.float32),
-            pltpu.VMEM((NBUF_BW, TP, Cp), dt),
+            pltpu.VMEM((NBUF_BW, TILE_H, TILE_W, Cp), dt),
             pltpu.VMEM((NBUF_BW, 8, TP), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF_BW,)),
             pltpu.SemaphoreType.DMA((NBUF_BW,)),
@@ -649,7 +657,7 @@ def resolve_grad_pallas(g: jax.Array, sel: jax.Array, ids_sorted: jax.Array,
     )
     out = pl.pallas_call(
         functools.partial(_resolve_bwd_kernel, tmax=tmax, T=T, blk=blk,
-                          cpb=cpb, Rp=Rp),
+                          cpb=cpb, Rp=Rp, ntx=ntx),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, nch, chunk, Rp), jnp.float32),
         interpret=interpret,

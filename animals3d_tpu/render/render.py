@@ -130,9 +130,14 @@ def render_mesh(
     # computed on minor-F arrays — (B, F, 3)-shaped math runs at ~2% VPU
     # lane occupancy; they ride in resolve's per-face row, so the per-pixel
     # lookup is free
-    fvpT = fvr.reshape(Fn, 3, B, 7)[..., :3].transpose(2, 1, 3, 0)
-    u = fvpT[:, 1] - fvpT[:, 0]                              # (B, 3, F)
-    w_ = fvpT[:, 2] - fvpT[:, 0]
+    # merge the non-adjacent dims before transposing (one materialized
+    # relayout with F minor; slicing corners/channels afterwards is a free
+    # leading-dim stride — the direct [..., :3].transpose(...) form cost
+    # ~22 ms of pad+retile at 196k capacity in the device trace)
+    fvT = fvr.reshape(Fn, 3 * B * 7).transpose(1, 0) \
+        .reshape(3, B, 7, Fn)                                # (corner,B,ch,F)
+    u = fvT[1, :, :3] - fvT[0, :, :3]                        # (B, 3, F)
+    w_ = fvT[2, :, :3] - fvT[0, :, :3]
     nx = u[:, 1] * w_[:, 2] - u[:, 2] * w_[:, 1]             # (B, F)
     ny = u[:, 2] * w_[:, 0] - u[:, 0] * w_[:, 2]
     nz = u[:, 0] * w_[:, 1] - u[:, 1] * w_[:, 0]
