@@ -319,12 +319,14 @@ def _pixel_gather_mxu_bwd(pf, sel, ids_sorted, overlap, resolution):
     """Per-pixel row gather `pf[b, sel[b]]` whose transpose runs as the
     Pallas one-hot-matmul kernel (`rasterize_pallas.resolve_grad_pallas`)
     over the rasterizer's bbox-culled (tile, chunk) pairs instead of XLA's
-    colliding scatter-add. Forward is the plain gather."""
-    return jax.vmap(lambda p, s: p[s])(pf, sel)
+    colliding scatter-add. Forward is the plain gather (barriered so the
+    consumer's transpose can't fuse INTO it as a transposed row write —
+    inside the custom_vjp the caller-side barrier can't reach it)."""
+    return lax.optimization_barrier(jax.vmap(lambda p, s: p[s])(pf, sel))
 
 
 def _pgm_fwd(pf, sel, ids_sorted, overlap, resolution):
-    out = jax.vmap(lambda p, s: p[s])(pf, sel)
+    out = lax.optimization_barrier(jax.vmap(lambda p, s: p[s])(pf, sel))
     return out, (pf.shape, sel, ids_sorted, overlap)
 
 
