@@ -68,8 +68,8 @@ NSUB = 8           # sub-blocks per chunk for the in-kernel mask cull
 NBUF = 4           # DMA ring depth (prefetch distance for chunk copies)
 
 
-def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
-                   abuf, sem, *, chunk: int, kmax: int, nch: int,
+def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref, won_ref,
+                   abuf, took, sem, *, chunk: int, kmax: int, nch: int,
                    nsub: int = NSUB):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -77,6 +77,8 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
 
     z_ref[...] = jnp.full_like(z_ref, _BIG)
     id_ref[...] = jnp.zeros_like(id_ref)
+    won_ref[...] = jnp.zeros_like(won_ref)
+    kwid = won_ref.shape[-1]
 
     # per-tile chunk lists are capped at kmax (SMEM budget); a tile that
     # overlaps more chunks falls back to scanning all of them. Each SMEM
@@ -120,6 +122,7 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
         dma(slot, k).wait()
         A = abuf[slot]                                # (3, 8, chunk)
         _, m8 = entry_of(k)
+        took[...] = jnp.zeros_like(took)
         # The kernel cost is the (TP, faces) coverage min3 + lane reductions
         # (measured ~6 us per full 1024-face chunk); the NSUB-bit mask skips
         # sub-blocks whose bbox misses this tile, cutting that work to the
@@ -156,6 +159,15 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref,
                                     & (gi < id_ref[0]))
                 z_ref[0] = jnp.where(take, gz, zr)
                 id_ref[0] = jnp.where(take, gi, id_ref[0])
+                took[...] = jnp.where(take, 1.0, took[...])
+
+        # record whether any pixel (provisionally) took a face from this
+        # chunk: a SUPERSET of the final winner chunks per tile, consumed by
+        # the resolve fwd/bwd kernels to skip bbox-overlapping chunks whose
+        # faces all lost the depth test (typ. 3-6x fewer pairs)
+        anyf = took[...].max() > 0.0
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, kwid), 1)
+        won_ref[0, 0] = won_ref[0, 0] | jnp.where(anyf & (lane == k), 1, 0)
 
         # refill this ring slot only after the compute above consumed it
         @pl.when(k + NBUF < n)
@@ -196,6 +208,7 @@ def _morton3(x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
 
 def _pallas_visibility(order, counts, P, A, *, B, n_pix, T, chunk, kmax,
                        nch, nsub, interpret):
+    kwid = -(-max(kmax, 1) // 128) * 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,       # packed chunk-id/mask lists + counts
         grid=(B, T),
@@ -212,9 +225,13 @@ def _pallas_visibility(order, counts, P, A, *, B, n_pix, T, chunk, kmax,
             pl.BlockSpec((1, TP, 1),
                          lambda b, i, ids, cnt: (b, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, kwid),
+                         lambda b, i, ids, cnt: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((NBUF, 3, 8, chunk), jnp.float32),
+            pltpu.VMEM((TP, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
@@ -223,7 +240,8 @@ def _pallas_visibility(order, counts, P, A, *, B, n_pix, T, chunk, kmax,
                           nsub=nsub),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, n_pix, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((B, n_pix, 1), jnp.int32)],
+                   jax.ShapeDtypeStruct((B, n_pix, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((B, T, 8, kwid), jnp.int32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * n_pix * chunk * nch * 24 // 8,
@@ -359,22 +377,34 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     # the ~1 MB SMEM budget divides exactly; tiles whose true chunk count
     # exceeds kmax fall back to the in-kernel full scan
     kmax = max(1, min(nch, (960 * 1024 // 4) // (B * T)))
-    order = jnp.argsort(~overlap, axis=-1, stable=True).astype(jnp.int32)
-    order = order[..., :kmax]
-    order = (order | (jnp.take_along_axis(m8, order, axis=-1) << 16)) \
+    order_ids = jnp.argsort(~overlap, axis=-1, stable=True) \
+        .astype(jnp.int32)[..., :kmax]                     # (B, T, kmax)
+    order = (order_ids | (jnp.take_along_axis(m8, order_ids, axis=-1) << 16)) \
         .reshape(B * T * kmax)
     counts = overlap.sum(-1).astype(jnp.int32)
 
-    z, fid = _pallas_visibility(order, counts, P, A8, B=B, n_pix=n_pix, T=T,
-                                chunk=chunk, kmax=kmax, nch=nch, nsub=nsub,
-                                interpret=interpret)
+    z, fid, wonk = _pallas_visibility(
+        order, counts, P, A8, B=B, n_pix=n_pix, T=T,
+        chunk=chunk, kmax=kmax, nch=nch, nsub=nsub, interpret=interpret)
     z = _untile(z, B, nty, ntx)
     fid = _untile(fid, B, nty, ntx)
     z = jnp.where(fid > 0, z, 0.0)
     uv = compute_barycentrics(v_clip, faces, fid, (height, width))
-    # thread the chunk structure out for the MXU resolve backward: original
-    # face ids per sorted chunk + the bbox-culled tile/chunk interactions
-    bw_aux = (orig.reshape(nch, chunk).astype(jnp.int32), overlap)
+    # winner-chunk flags: the kernel records, per (b, tile) list entry,
+    # whether any pixel provisionally took a face from that chunk — a
+    # superset of the final winner chunks. Scatter list-position flags back
+    # to chunk ids (entries within a row are distinct -> unique indices);
+    # tiles that overflowed the SMEM list (full-scan fallback) keep the
+    # conservative bbox-overlap row.
+    flat = (jnp.arange(B * T, dtype=jnp.int32)[:, None] * nch
+            + order_ids.reshape(B * T, kmax)).reshape(-1)
+    won = jnp.zeros((B * T * nch,), jnp.int32) \
+        .at[flat].set(wonk[:, :, 0, :kmax].reshape(-1), mode="drop",
+                      unique_indices=True).reshape(B, T, nch) > 0
+    won = jnp.where((counts <= kmax)[..., None], won, overlap) & overlap
+    # thread the chunk structure out for the MXU resolve fwd/bwd: original
+    # face ids per sorted chunk + the winner-chunk tile/chunk interactions
+    bw_aux = (orig.reshape(nch, chunk).astype(jnp.int32), won)
     return Rast(uv=uv, z=z, face_id=fid, bw_aux=bw_aux)
 
 
@@ -493,7 +523,7 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
         .reshape(B * T * kmax)
     counts = overlap.sum(-1).astype(jnp.int32)                 # (B, T)
 
-    z, fid = _pallas_visibility(order, counts, P, A, B=B, n_pix=n_pix, T=T,
+    z, fid, _won = _pallas_visibility(order, counts, P, A, B=B, n_pix=n_pix, T=T,
                                 chunk=chunk, kmax=kmax, nch=nch, nsub=nsub,
                                 interpret=interpret)
     z = _untile(z, B, nty, ntx)

@@ -152,15 +152,21 @@ class InstancePredictor(nn.Module):
         self.max_trans_xyz_range = np.array([
             pose.max_trans_xy_range_ratio, pose.max_trans_xy_range_ratio,
             pose.max_trans_z_range_ratio], np.float32) * half_range
-        if pose.rot_rep not in ("quadlookat", "octlookat"):
+        # pose head width per rotation representation
+        # (`InstancePredictorBase.py:158-177`)
+        if pose.rot_rep == "euler_angle":
+            pose_cout = 6                 # 3 rotation + 3 translation
+            self.max_rot_xyz_range = np.array(
+                [pose.max_rot_x_range, pose.max_rot_y_range,
+                 pose.max_rot_z_range], np.float32) / 180.0 * np.pi
+        elif pose.rot_rep == "quaternion":
+            pose_cout = 7                 # 4 quaternion + 3 translation
+        elif pose.rot_rep == "lookat":
+            pose_cout = 6                 # 3 forward vector + 3 translation
+        elif pose.rot_rep in ("quadlookat", "octlookat"):
+            pose_cout = 4 * self.num_pose_hypos + 3
+        else:
             raise NotImplementedError(pose.rot_rep)
-        if cfg.cfg_articulation.enable_refine:
-            # refine nets (`InstancePredictorBase.py:219-233`) are disabled
-            # in every reference config; error rather than silently ignore
-            raise NotImplementedError(
-                "enable_refine is not implemented (disabled in all "
-                "reference configs)")
-        pose_cout = 4 * self.num_pose_hypos + 3
         self.netPose = Encoder32(cout=pose_cout, nf=256)
 
         if cfg.enable_deform:
@@ -181,6 +187,20 @@ class InstancePredictor(nn.Module):
                 n_harmonic_functions=a.embedder_freq,
                 embedder_scalar=np.pi * 0.9,
                 enable_articulation_idadd=a.enable_articulation_idadd)
+            if a.enable_refine:
+                # second articulation pass conditioned on the POSED bones
+                # (`InstancePredictorBase.py:219-233`)
+                refine_dim = 0
+                if "dino_global" in a.refine_feature_mode:
+                    refine_dim += enc_dim
+                if "dino_sample" in a.refine_feature_mode:
+                    refine_dim += vit_feat_dim
+                self.netArticulationRefine = ArticulationNetwork(
+                    a.architecture, refine_dim, posenc_dim=1 + 2 + 3 * 2,
+                    num_layers=a.num_layers, nf=a.hidden_size,
+                    n_harmonic_functions=a.embedder_freq,
+                    embedder_scalar=np.pi * 0.9,
+                    enable_articulation_idadd=a.enable_articulation_idadd)
 
         if cfg.enable_lighting:
             li = cfg.cfg_light
@@ -202,6 +222,27 @@ class InstancePredictor(nn.Module):
             else patch_out
         pose = self.netPose(feat)                              # (N, cout)
         trans = jnp.tanh(pose[..., -3:]) * jnp.asarray(self.max_trans_xyz_range)
+
+        if cfg.rot_rep == "euler_angle":
+            # (`InstancePredictorBase.py:261-262`) tanh-bounded xyz angles
+            rot_pred = jnp.tanh(pose[..., :3]) * jnp.asarray(
+                self.max_rot_xyz_range)
+            return jnp.concatenate([rot_pred, trans], -1)      # (N, 6)
+        if cfg.rot_rep == "quaternion":
+            # (`:264-269`) init-shifted, normalized, real part >= 0
+            quat = pose[..., :4] + jnp.asarray([0.01, 0.0, 0.0, 0.0])
+            quat = quat / jnp.maximum(
+                jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12)
+            rot_pred = quat * jnp.sign(quat[..., :1])
+            return jnp.concatenate([rot_pred, trans], -1)      # (N, 7)
+        if cfg.rot_rep == "lookat":
+            # (`:271-276`) single normalized forward vector
+            fwd = pose[..., :3]
+            if zeroy:
+                fwd = fwd * jnp.asarray([1.0, 0.0, 1.0])
+            fwd = fwd / jnp.maximum(
+                jnp.linalg.norm(fwd, axis=-1, keepdims=True), 1e-12)
+            return jnp.concatenate([fwd, trans], -1)           # (N, 6)
 
         K = self.num_pose_hypos
         rots = pose[..., :K * 4].reshape(-1, K, 4)
@@ -226,6 +267,13 @@ class InstancePredictor(nn.Module):
         """(`InstancePredictorBase.py:622-663`) softmax(-logits/T) with
         annealed T, uniform blending, optional exploration."""
         cfg = self.cfg.cfg_pose
+        if cfg.rot_rep not in ("quadlookat", "octlookat"):
+            # the reference's multi-hypothesis forward asserts the same
+            # (`InstancePredictorBase.py:672`); euler/quaternion/lookat are
+            # decodable via forward_pose but have no hypothesis sampling
+            raise NotImplementedError(
+                f"hypothesis sampling requires quad/octlookat, "
+                f"got {cfg.rot_rep}")
         K = self.num_pose_hypos
         rots = poses_raw[..., :K * 4].reshape(-1, K, 4)
         N = rots.shape[0]
@@ -411,6 +459,50 @@ class InstancePredictor(nn.Module):
         angles = self.netArticulation(bones_feat, pos_in) \
             .reshape(batch_size, num_frames, K, 3)
         angles = self.apply_articulation_constraints(angles, phase)
+
+        if a.enable_refine:
+            # second pass on the POSED bones
+            # (`InstancePredictorBase.py:529-541` + `get_bones_from_
+            # articulation:385-433`): skin once to get posed bone endpoints,
+            # rebuild the detached per-bone codes from them, then either add
+            # a predicted delta or re-predict + re-constrain.
+            N = batch_size * num_frames
+            _, aux0 = sk.skinning(verts_bf, bones, structure, angles,
+                                  output_posed_bones=True,
+                                  temperature=a.skinning_temperature,
+                                  v_valid=mesh.v_valid)
+            pb = aux0["posed_bones"].reshape(N, K, 2, 3)
+            mid = pb.mean(2)
+            mid4 = jnp.concatenate([mid, jnp.ones_like(mid[..., :1])], -1)
+            mid_clip = jnp.einsum("nij,nkj->nki", mvp, mid4)
+            mid_2d = jax.lax.stop_gradient(
+                mid_clip[..., :2] / mid_clip[..., 3:4])
+            pb4 = jnp.concatenate([pb, jnp.ones_like(pb[..., :1])], -1)
+            cam = jnp.einsum("nij,nkej->nkei", w2c, pb4)
+            cam3 = cam[..., :3] / cam[..., 3:4] + jnp.asarray(
+                [0.0, 0.0, self.cfg.cfg_pose.cam_pos_z_offset])
+            pos3d = cam3.reshape(N, K, 6) / self.cfg.spatial_scale * 2
+            idx_in = jnp.broadcast_to(
+                (((jnp.arange(K) + 0.5) / K * 2 - 1))[None, :, None],
+                (N, K, 1))
+            pos_in2 = jax.lax.stop_gradient(
+                jnp.concatenate([mid_2d, pos3d, idx_in], -1))
+            feats2 = []
+            if "dino_global" in a.refine_feature_mode:
+                feats2.append(jnp.broadcast_to(
+                    feat[:, None], (N, K, feat.shape[-1])))
+            if "dino_sample" in a.refine_feature_mode:
+                feats2.append(
+                    grid_sample_bilinear(patch_feat, mid_2d[:, None])[:, 0])
+            bones_feat2 = jnp.concatenate(feats2, -1)
+            if a.predict_delta:
+                delta = self.netArticulationRefine(bones_feat2, pos_in2) \
+                    .reshape(batch_size, num_frames, K, 3)
+                angles = angles + delta
+            else:
+                angles = self.netArticulationRefine(bones_feat2, pos_in2) \
+                    .reshape(batch_size, num_frames, K, 3)
+                angles = self.apply_articulation_constraints(angles, phase)
 
         posed, aux = sk.skinning(verts_bf, bones, structure, angles,
                                  output_posed_bones=True,

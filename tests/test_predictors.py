@@ -122,6 +122,85 @@ def test_instance_predictor_forward():
     assert (lp[:, 1] > 0).all()
 
 
+def test_forward_pose_rot_reps():
+    """euler/quaternion/lookat decode branches
+    (`InstancePredictorBase.py:158-177, 261-276`)."""
+    import dataclasses
+    B = 2
+    images = jnp.zeros((B, 1, 3, 64, 64)) + 0.5
+    for rep, cout in [("euler_angle", 6), ("quaternion", 7), ("lookat", 6)]:
+        cfg = _instance_cfg()
+        cfg = dataclasses.replace(
+            cfg, cfg_pose=dataclasses.replace(cfg.cfg_pose, rot_rep=rep))
+        model = InstancePredictor(cfg=cfg)
+
+        def pose_only(m, images):
+            f_out, f_key, p_out, p_key = m.forward_encoder(images)
+            return m.forward_pose(p_out, p_key, zeroy=True)
+
+        params = model.init(jax.random.PRNGKey(0), images,
+                            method=pose_only)["params"]
+        pose = model.apply({"params": params}, images, method=pose_only)
+        assert pose.shape == (B, cout), (rep, pose.shape)
+        p = np.asarray(pose)
+        if rep == "euler_angle":
+            assert np.abs(p[:, :3]).max() <= np.pi + 1e-6
+        elif rep == "quaternion":
+            np.testing.assert_allclose(
+                np.linalg.norm(p[:, :4], axis=-1), 1.0, atol=1e-5)
+            assert (p[:, 0] >= 0).all()      # real part non-negative
+        else:
+            np.testing.assert_allclose(
+                np.linalg.norm(p[:, :3], axis=-1), 1.0, atol=1e-5)
+            np.testing.assert_allclose(p[:, 1], 0.0, atol=1e-6)  # zeroy
+        # hypothesis sampling matches the reference assert (`:672`)
+        try:
+            model.apply({"params": params}, pose, 1000, jax.random.PRNGKey(0),
+                        False, method=InstancePredictor.sample_pose_hypothesis)
+            raise AssertionError("expected NotImplementedError")
+        except NotImplementedError:
+            pass
+
+
+def test_articulation_refine():
+    """Refine pass re-predicts articulation from POSED bones
+    (`InstancePredictorBase.py:219-233, 529-541`)."""
+    import dataclasses
+    grid_np = tetlib.load_tet_grid(GRID_RES, data_dir="/tmp/tets_cache")
+    grid = DeviceTetGrid(grid_np)
+    base = BasePredictor(cfg=_base_cfg())
+    bparams = base.init(jax.random.PRNGKey(0), grid, V_CAP, F_CAP,
+                        method=BasePredictor.init_all)["params"]
+    prior_mesh, _ = base.apply({"params": bparams}, grid, V_CAP, F_CAP)
+
+    from animals3d_tpu.phase import Phase
+    outs = {}
+    for delta in (False, True):
+        cfg = _instance_cfg()
+        cfg = dataclasses.replace(
+            cfg, cfg_articulation=dataclasses.replace(
+                cfg.cfg_articulation, enable_refine=True,
+                refine_feature_mode="dino_global+dino_sample",
+                predict_delta=delta))
+        model = InstancePredictor(cfg=cfg)
+        B = 2
+        images = jnp.linspace(0.2, 0.8, B * 3 * 64 * 64).reshape(B, 1, 3, 64, 64)
+        params = model.init(jax.random.PRNGKey(0), images, prior_mesh, 5000,
+                            jax.random.PRNGKey(1),
+                            method=InstancePredictor.init_all)["params"]
+        assert "netArticulationRefine" in params
+        out = model.apply({"params": params}, images, prior_mesh, 5000,
+                          jax.random.PRNGKey(2),
+                          Phase(deform_on=False, articulation_on=True,
+                                constrain_legs=True, zeroy=True))
+        arti = out[9]
+        assert arti.shape == (B, 1, 20, 3)
+        assert np.isfinite(np.asarray(arti)).all()
+        outs[delta] = np.asarray(arti)
+    # the two refine modes produce different articulations
+    assert not np.allclose(outs[False], outs[True])
+
+
 def test_texture_sampling():
     model = InstancePredictor(cfg=_instance_cfg())
     # init via texture path only
