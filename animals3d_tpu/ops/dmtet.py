@@ -460,3 +460,99 @@ def marching_tets_np(pos: np.ndarray, sdf: np.ndarray, tets: np.ndarray):
     f2 = np.take_along_axis(idx_map[ntri == 2], tri[ntri == 2][:, :6], 1).reshape(-1, 3)
     faces = np.concatenate([f1, f2], 0)
     return verts, faces
+
+
+# ---------------------------------------------------------------------------
+# Band-sparse lattice SDF evaluation
+#
+# The reference evaluates its SDF MLP on every Quartet grid vertex per step
+# (`dmtet.py:294-310` — ~190k verts for its 128 grid); the procedural Kuhn
+# lattice here has (res+1)³ vertices (2.1M at 128, 17M at 256), making the
+# dense MLP sweep the single largest matmul block of the step (traced at
+# ~50 ms fwd+bwd at 128). Marching tets only needs EXACT values near the
+# zero crossing, so:
+#   1. evaluate the MLP on the stride-2 coarse sublattice ((res/2+1)³);
+#   2. trilinearly upsample to the fine lattice (exact midpoint averages);
+#   3. flag 32-vertex flat segments whose interpolated |sdf| dips below
+#      τ = band_tau · (spatial_scale / res) — a conservative surface band
+#      for any near-eikonal field (the BCE/eikonal regularizers hold the
+#      Lipschitz constant ≈ 1);
+#   4. compact flagged segments (cumsum + `first_geq`, all capacity-static)
+#      and re-evaluate the MLP only there, scattering exact values over the
+#      interpolated field.
+# Out-of-band vertices keep interpolated values: every sign crossing lives
+# strictly inside the band (both-endpoint |interp| ≥ τ with opposite signs
+# would need a local slope ≫ 1), so the extracted mesh is IDENTICAL to the
+# dense sweep (asserted by tests); far-edge regularizer terms see linear-
+# interp values whose sigmoids saturate to the same loss. If the band
+# overflows its capacity, a lax.cond falls back to the dense sweep.
+# ---------------------------------------------------------------------------
+
+BAND_SEG = 32
+
+
+def sdf_lattice_banded(sdf_fn, pos: jax.Array, res: int,
+                       band_tau: float = 4.0, seg_cap: int | None = None):
+    """Evaluate `sdf_fn` over a (res+1)³ lattice via the coarse+band scheme.
+
+    sdf_fn: callable (N, 3) -> (N,) exact field; pos: ((res+1)³, 3) lattice
+    positions (row-major i,j,k — `geometry.tets.kuhn_lattice` order).
+    Returns (sdf ((res+1)³,), band_count) — band_count is diagnostic.
+    """
+    n = res + 1
+    N = n * n * n
+    assert res % 2 == 0, res
+    m = res // 2 + 1
+    # fine spacing from the lattice structure: consecutive k differ by h
+    # (global jitter is a constant shift, so the difference is exact)
+    h = pos[1, 2] - pos[0, 2]
+
+    pos3 = pos.reshape(n, n, n, 3)
+    coarse = pos3[::2, ::2, ::2].reshape(-1, 3)         # (m³, 3)
+    cs = sdf_fn(coarse).reshape(m, m, m)
+
+    def up1(a, axis):
+        """2m-1 linear upsample along axis (midpoint averages)."""
+        lo = jax.lax.slice_in_dim(a, 0, m - 1, axis=axis)
+        hi = jax.lax.slice_in_dim(a, 1, m, axis=axis)
+        mid = (lo + hi) * 0.5
+        inter = jnp.stack([lo, mid], axis=axis + 1)
+        shp = list(a.shape)
+        shp[axis] = 2 * (m - 1)
+        inter = inter.reshape(shp)
+        last = jax.lax.slice_in_dim(a, m - 1, m, axis=axis)
+        return jnp.concatenate([inter, last], axis=axis)
+
+    s_f = up1(up1(up1(cs, 0), 1), 2).reshape(-1)        # (N,) interp field
+
+    tau = band_tau * jnp.abs(h)
+    nseg = -(-N // BAND_SEG)
+    padN = nseg * BAND_SEG
+    s_pad = jnp.pad(s_f, (0, padN - N), constant_values=jnp.inf)
+    segs = jnp.abs(s_pad).reshape(nseg, BAND_SEG)
+    flag = (segs.min(axis=1) < tau)                     # (nseg,)
+    count = flag.sum()
+
+    if seg_cap is None:
+        seg_cap = max(256, int(nseg) // 3)
+
+    def banded(_):
+        csum = jnp.cumsum(flag.astype(jnp.int32))
+        seg_idx = first_geq(csum, jnp.arange(1, seg_cap + 1,
+                                             dtype=jnp.int32))
+        valid = jnp.arange(seg_cap) < count
+        safe = jnp.minimum(seg_idx, nseg - 1)
+        pos_pad = jnp.pad(pos, ((0, padN - N), (0, 0)), mode="edge")
+        bpos = pos_pad.reshape(nseg, BAND_SEG * 3)[safe] \
+            .reshape(seg_cap * BAND_SEG, 3)
+        bs = sdf_fn(bpos).reshape(seg_cap, BAND_SEG)
+        oob = jnp.where(valid, safe, nseg)
+        out = s_pad.reshape(nseg, BAND_SEG) \
+            .at[oob].set(bs, mode="drop", unique_indices=True)
+        return out.reshape(-1)[:N]
+
+    def dense(_):
+        return sdf_fn(pos)
+
+    sdf = jax.lax.cond(count <= seg_cap, banded, dense, operand=None)
+    return sdf, count

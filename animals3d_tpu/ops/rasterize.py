@@ -233,48 +233,75 @@ def resolve(attr: jax.Array, rast: Rast, v_clip: jax.Array,
     if attr.ndim == 2:
         attr = jnp.broadcast_to(attr[None], (B, *attr.shape))
     nA = attr.shape[-1]
-    C = 4 + nA
-    V = v_clip.shape[1]
-    F = faces.shape[0]
+    nK = 0 if face_attr is None else face_attr.shape[-1]
     fid = lax.stop_gradient(rast.face_id)
     sel = jnp.maximum(fid - 1, 0)                       # (B, H, W)
+
+    # MXU one-hot-matmul fwd+bwd when the Pallas rasterizer threaded its
+    # chunk structure through: the per-pixel row gather (655k descriptor-
+    # bound rows, ~45 ms/step) and its colliding scatter-add transpose
+    # (~106 ms) both become matmuls over the winner-chunk (tile, chunk)
+    # pairs (`rasterize_pallas.resolve_rows_pallas` / `resolve_grad_pallas`)
+    import os
+    use_kernels = (getattr(rast, "bw_aux", None) is not None
+                   and (jax.default_backend() == "tpu"
+                        or os.environ.get("A3D_FORCE_MXU") == "1")
+                   and os.environ.get("A3D_NO_MXU_BWD") != "1")
+    # pad attr channels so the per-face row width 3(4+nA)+nK is a multiple
+    # of 8 (the kernels' sublane granularity); padded channels are never read
+    nA_p = nA
+    while use_kernels and (3 * (4 + nA_p) + nK) % 8:
+        nA_p += 1
+    if nA_p != nA:
+        attr = jnp.concatenate(
+            [attr, jnp.zeros((*attr.shape[:-1], nA_p - nA), attr.dtype)], -1)
+    C = 4 + nA_p
+    V = v_clip.shape[1]
+    F = faces.shape[0]
     pv = jnp.concatenate([v_clip, attr.astype(v_clip.dtype)], -1)
     tab = pv.transpose(1, 0, 2).reshape(V, B * C)
     pf = tab[faces].reshape(F, 3, B, C).transpose(2, 0, 1, 3) \
         .reshape(B, F, 3 * C)                           # (B, F, 3C)
-    nK = 0
     if face_attr is not None:
-        nK = face_attr.shape[-1]
         pf = jnp.concatenate([pf, face_attr.astype(pf.dtype)], -1)
 
-    # pixel coords as flat (H*W,) arrays (minor axis = pixels)
-    xs = ((jnp.arange(H * W, dtype=jnp.float32) % W) + 0.5)
-    ys = ((jnp.arange(H * W, dtype=jnp.float32) // W) + 0.5)
-
-    # the per-pixel row gather, with an MXU one-hot-matmul backward when the
-    # Pallas rasterizer threaded its chunk structure through (the autodiff
-    # transpose is a 655k-row colliding scatter-add, traced at 106 ms/step)
-    import os
-    use_pallas_bwd = (getattr(rast, "bw_aux", None) is not None
-                      and jax.default_backend() == "tpu"
-                      and os.environ.get("A3D_NO_MXU_BWD") != "1")
-    if use_pallas_bwd:
-        ids_sorted, overlap = rast.bw_aux
-        rows_all = _pixel_gather_mxu_bwd(
+    if use_kernels:
+        from animals3d_tpu.ops.rasterize_pallas import (TILE_H, TILE_W)
+        ids_sorted, won = rast.bw_aux
+        # channel-major rows in pixel-TILE order, straight off the kernel
+        rT_all = _resolve_rows_cm(
             pf, sel.reshape(B, H * W), lax.stop_gradient(ids_sorted),
-            lax.stop_gradient(overlap), (H, W))
+            lax.stop_gradient(won), (H, W))             # (B, R, T·TP)
+        nty, ntx = H // TILE_H, W // TILE_W
+
+        def tile_flat(a):                               # (H, W) -> (T·TP,)
+            return a.reshape(nty, TILE_H, ntx, TILE_W) \
+                .transpose(0, 2, 1, 3).reshape(-1)
+
+        yg = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None]
+        xg = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :]
+        xs = tile_flat(jnp.broadcast_to(xg, (H, W)))
+        ys = tile_flat(jnp.broadcast_to(yg, (H, W)))
+        keep = (fid > 0).reshape(B, nty, TILE_H, ntx, TILE_W) \
+            .transpose(0, 1, 3, 2, 4).reshape(B, 1, nty * ntx * TILE_H * TILE_W)
+
+        def assemble(x, ch):                            # (B, ch, T·TP)
+            return x.reshape(B, ch, nty, ntx, TILE_H, TILE_W) \
+                .transpose(0, 2, 4, 3, 5, 1).reshape(B, H, W, ch)
     else:
+        rT_all = None
+        xs = ((jnp.arange(H * W, dtype=jnp.float32) % W) + 0.5)
+        ys = ((jnp.arange(H * W, dtype=jnp.float32) // W) + 0.5)
+        keep = (fid > 0).reshape(B, 1, H * W)
+
+        def assemble(x, ch):                            # (B, ch, H·W)
+            return x.transpose(0, 2, 1).reshape(B, H, W, ch)
+
         rows_all = jax.vmap(lambda p, s: p[s.reshape(-1)])(pf, sel)
 
-    def one(rows, _unused=None):
-        # barrier: keeps the transpose from fusing INTO the gather (a
-        # transposed gather write scatters each row across 3C+K cache lines;
-        # traced at 41 ms vs ~17 ms for gather + separate transpose)
-        rows = lax.optimization_barrier(rows)
-        # ALL barycentric math on (H*W,)-minor arrays: channel-minor layouts
+    def one(rT):
+        # ALL barycentric math on pixel-minor arrays: channel-minor layouts
         # ((H, W, 3[,C])) run at 2-10% VPU lane occupancy
-        rT = rows.T                                     # (3C+K, H*W)
-
         def vch(vtx, c):
             return rT[vtx * C + c]
 
@@ -301,47 +328,63 @@ def resolve(attr: jax.Array, rast: Rast, v_clip: jax.Array,
         l0p = 1.0 - u - v
         out = jnp.stack([vch(0, 4 + c) * l0p + vch(1, 4 + c) * u
                          + vch(2, 4 + c) * v for c in range(nA)], 0)
-        uv = jnp.stack([u, v], 0)                       # (2, H*W)
+        uv = jnp.stack([u, v], 0)                       # (2, pixels)
         return uv, out, rT[3 * C:]
 
-    uv, out, fa = jax.vmap(one)(rows_all)
-    keepT = (fid > 0).reshape(B, 1, H * W)
-    uv = jnp.where(keepT, uv, 0.0).transpose(0, 2, 1).reshape(B, H, W, 2)
-    out = jnp.where(keepT, out, 0.0).transpose(0, 2, 1).reshape(B, H, W, nA)
+    if use_kernels:
+        uv, out, fa = jax.vmap(one)(rT_all)
+    else:
+        def one_rows(rows):
+            # barrier: keeps the transpose from fusing INTO the gather (a
+            # transposed gather write scatters each row across 3C+K cache
+            # lines; traced at 41 ms vs ~17 ms gather + separate transpose)
+            return one(lax.optimization_barrier(rows).T)
+
+        uv, out, fa = jax.vmap(one_rows)(rows_all)
+    uv = assemble(jnp.where(keep, uv, 0.0), 2)
+    out = assemble(jnp.where(keep, out, 0.0), nA)
     if face_attr is None:
         return uv, out
-    fa = jnp.where(keepT, fa, 0.0).transpose(0, 2, 1).reshape(B, H, W, nK)
+    fa = assemble(jnp.where(keep, fa, 0.0), nK)
     return uv, out, fa
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _pixel_gather_mxu_bwd(pf, sel, ids_sorted, overlap, resolution):
-    """Per-pixel row gather `pf[b, sel[b]]` whose transpose runs as the
-    Pallas one-hot-matmul kernel (`rasterize_pallas.resolve_grad_pallas`)
-    over the rasterizer's bbox-culled (tile, chunk) pairs instead of XLA's
-    colliding scatter-add. Forward is the plain gather (barriered so the
-    consumer's transpose can't fuse INTO it as a transposed row write —
-    inside the custom_vjp the caller-side barrier can't reach it)."""
-    return lax.optimization_barrier(jax.vmap(lambda p, s: p[s])(pf, sel))
+def _resolve_rows_cm(pf, sel, ids_sorted, won, resolution):
+    """Channel-major tile-ordered resolve rows: forward AND transpose both
+    run as Pallas one-hot matmuls over the rasterizer's winner-chunk
+    (tile, chunk) pairs (`rasterize_pallas.resolve_rows_pallas` /
+    `resolve_grad_pallas`) instead of XLA's 655k-row per-pixel gather /
+    colliding scatter-add. Returns (B, R, T·TP) with R = pf.shape[-1];
+    background pixels come out ZERO (callers mask them anyway)."""
+    from animals3d_tpu.ops.rasterize_pallas import resolve_rows_pallas
+    return resolve_rows_pallas(pf, sel, ids_sorted, won, resolution,
+                               interpret=jax.default_backend() != "tpu")
 
 
-def _pgm_fwd(pf, sel, ids_sorted, overlap, resolution):
-    out = lax.optimization_barrier(jax.vmap(lambda p, s: p[s])(pf, sel))
-    return out, (pf.shape, sel, ids_sorted, overlap)
+def _rrc_fwd(pf, sel, ids_sorted, won, resolution):
+    out = _resolve_rows_cm(pf, sel, ids_sorted, won, resolution)
+    return out, (pf.shape, sel, ids_sorted, won)
 
 
-def _pgm_bwd(resolution, res, g):
-    from animals3d_tpu.ops.rasterize_pallas import resolve_grad_pallas
-    (B, F, R), sel, ids_sorted, overlap = res
+def _rrc_bwd(resolution, res, g):
+    from animals3d_tpu.ops.rasterize_pallas import (TILE_H, TILE_W,
+                                                    resolve_grad_pallas)
+    (B, F, R), sel, ids_sorted, won = res
+    H, W = resolution
+    nty, ntx = H // TILE_H, W // TILE_W
+    # channel-major tile order -> the raster-order rows the grad kernel eats
+    g_r = g.reshape(B, R, nty, ntx, TILE_H, TILE_W) \
+        .transpose(0, 2, 4, 3, 5, 1).reshape(B, H * W, R)
     on_tpu = jax.default_backend() == "tpu"
     d_pf = resolve_grad_pallas(
-        g, sel, ids_sorted, overlap, resolution, F,
+        g_r, sel, ids_sorted, won, resolution, F,
         interpret=not on_tpu,
         compute_dtype=jnp.bfloat16 if on_tpu else None)
     return d_pf, None, None, None
 
 
-_pixel_gather_mxu_bwd.defvjp(_pgm_fwd, _pgm_bwd)
+_resolve_rows_cm.defvjp(_rrc_fwd, _rrc_bwd)
 
 
 def interpolate(attr: jax.Array, rast: Rast, faces: jax.Array) -> jax.Array:

@@ -704,3 +704,157 @@ def resolve_grad_pallas(g: jax.Array, sel: jax.Array, ids_sorted: jax.Array,
     invperm = jnp.argsort(permb // blk)                # orig block → sorted
     d_orig = d_blocks[:, invperm].reshape(B, Fp, Rp)
     return d_orig[:, :F, :R]
+
+
+# ---------------------------------------------------------------------------
+# MXU resolve FORWARD: the per-pixel row gather `pf[b, sel[b]]` (655k rows of
+# ~170 B at 256²×10 — descriptor-bound, traced at ~45 ms/step) becomes a
+# one-hot matmul over the rasterizer's winner-chunk (tile, chunk) pairs:
+# per pair, oneh[face, px] = (ids[face] == sel[px]) and
+# rows_T (Rp, TP) += pf_chunk (chunk, Rp)ᵀ @ oneh (chunk, TP) — the MXU's
+# native AᵀB orientation. Because each pixel's winner lives in exactly one
+# visited chunk, f32 accumulation is EXACT selection (one non-zero term).
+# The output is written channel-major in pixel-tile order (B, Rp, T·TP),
+# which is precisely the layout the barycentric math consumes (it begins by
+# transposing the gather rows) — no XLA-side transpose or relayout anywhere.
+# Background pixels (sel=0 outside any winner chunk) come out ZERO, not
+# pf[0]; the caller masks background before use, like the gather contract.
+# ---------------------------------------------------------------------------
+
+NBUF_FW = 2
+
+
+def _resolve_fwd_kernel(clist_ref, ccnt_ref, pf_hbm, sel_hbm,
+                        out_ref, acc, pbuf, sbuf, sem_p, sem_s,
+                        *, cmax: int, nch: int, Rp: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
+
+    n_raw = ccnt_ref[b, t]
+    use_list = n_raw <= cmax
+    n = jnp.where(use_list, n_raw, nch)
+    row = (b * T + t) * cmax
+
+    def chunk_of(k):
+        v = clist_ref[row + jnp.minimum(k, cmax - 1)]
+        return jnp.where(use_list, v, k)
+
+    def dma_p(slot, k):
+        return pltpu.make_async_copy(pf_hbm.at[b, chunk_of(k)],
+                                     pbuf.at[slot], sem_p.at[slot])
+
+    sel_cp = pltpu.make_async_copy(sel_hbm.at[b, t], sbuf, sem_s)
+    sel_cp.start()
+    for kpre in range(NBUF_FW):
+        @pl.when(kpre < n)
+        def _(kpre=kpre):
+            dma_p(kpre, kpre).start()
+    sel_cp.wait()
+    srow = sbuf[0:1]                                   # (1, TP) f32
+
+    acc[...] = jnp.zeros_like(acc)
+
+    def body(k, _):
+        slot = k % NBUF_FW
+        dma_p(slot, k).wait()
+        # the chunk's original face ids ride in pf channel Rp (f32-exact
+        # below 2^24 faces) — already in the (chunk, 1) sublane layout the
+        # broadcast compare wants, no extra DMA or synthesis
+        ids_col = pbuf[slot][:, Rp:Rp + 1]             # (chunk, 1)
+        oneh = (ids_col == srow).astype(jnp.float32)   # (chunk, TP)
+        # HIGHEST: the MXU's default f32 path truncates operands to bf16
+        # (2^-7 relative error — catastrophic for the barycentric dets the
+        # caller builds from differences of these rows); the one-hot is
+        # exact in bf16, so multi-pass f32 recovers exact selection
+        acc[...] += jax.lax.dot_general(
+            pbuf[slot], oneh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)       # (Cp, TP)
+
+        @pl.when(k + NBUF_FW < n)
+        def _():
+            dma_p(slot, k + NBUF_FW).start()
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+    out_ref[...] = acc[:Rp][None]
+
+
+def resolve_rows_pallas(pf: jax.Array, sel: jax.Array, ids_sorted: jax.Array,
+                        won: jax.Array, resolution: tuple[int, int],
+                        interpret: bool = False) -> jax.Array:
+    """Channel-major tile-ordered resolve rows (B, Rp, T·TP) — the one-hot
+    forward of `pf[b, sel[b]]` followed by a transpose, fused on the MXU.
+
+    pf: (B, F, Rp) per-face rows (Rp multiple of 8); sel: (B, H·W) 0-based
+    original winner face ids (raster order, 0 on background); ids_sorted /
+    won: the rasterizer's `bw_aux`. Background / unvisited rows are ZERO.
+    """
+    B, F, Rp = pf.shape
+    height, width = resolution
+    nty, ntx = height // TILE_H, width // TILE_W
+    T = nty * ntx
+    n_pix = T * TP
+    nch, chunk = ids_sorted.shape
+    Fp = nch * chunk
+    blk = min(BLOCK, chunk)
+    nblk = Fp // blk
+    assert Rp % 8 == 0, Rp
+
+    if Fp != F:
+        pf = jnp.concatenate(
+            [pf, jnp.zeros((B, Fp - F, Rp), pf.dtype)], 1)
+    # sorted-face-order chunks, contiguous per (b, chunk) for one-shot DMA;
+    # the minor dim pads to 128 (Mosaic HBM slices must be tile-aligned) and
+    # channel Rp carries the chunk's ORIGINAL face ids (f32-exact below 2^24
+    # faces) so the in-kernel one-hot compare needs no separate ids DMA
+    Cp = 128
+    assert Rp < Cp, Rp
+    permb = ids_sorted.reshape(nblk, blk)[:, 0]
+    pf_sorted = pf.reshape(B, nblk, blk * Rp)[:, permb // blk] \
+        .reshape(B, nch, chunk, Rp).astype(jnp.float32)
+    pf_sorted = jnp.pad(pf_sorted, ((0, 0), (0, 0), (0, 0), (0, Cp - Rp)))
+    pf_sorted = pf_sorted.at[..., Rp].set(
+        jnp.broadcast_to(ids_sorted.astype(jnp.float32), (B, nch, chunk)))
+    # sel tiles: pixels on lanes, 8 sublanes for DMA tiling, row 0 live;
+    # f32 to match the id channel (exact below 2^24)
+    st = sel.astype(jnp.float32).reshape(B, nty, TILE_H, ntx, TILE_W) \
+        .transpose(0, 1, 3, 2, 4).reshape(B, T, 1, TP)
+    st = jnp.broadcast_to(st, (B, T, 8, TP))
+
+    # per-(image, tile) winner-chunk lists
+    cmax = max(1, min(nch, (900 * 1024 // 4) // max(B * T, 1)))
+    order = jnp.argsort(~won, axis=-1, stable=True).astype(jnp.int32)
+    clist = order[..., :cmax].reshape(B * T * cmax)
+    ccnt = won.sum(-1).astype(jnp.int32)               # (B, T)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # pf_sorted in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),      # sel tiles in HBM
+        ],
+        out_specs=pl.BlockSpec((1, Rp, TP),
+                               lambda b, t, cl, cc: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Cp, TP), jnp.float32),
+            pltpu.VMEM((NBUF_FW, chunk, Cp), jnp.float32),
+            pltpu.VMEM((8, TP), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF_FW,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_resolve_fwd_kernel, cmax=cmax, nch=nch, Rp=Rp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Rp, n_pix), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * 4 * chunk * Rp * TP // TP,
+            bytes_accessed=B * T * 4 * chunk * (Rp + 1) * 4
+            + B * Rp * n_pix * 4,
+            transcendentals=0),
+    )(clist, ccnt, pf_sorted, st)

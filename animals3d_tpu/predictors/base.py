@@ -102,7 +102,16 @@ class BasePredictor(nn.Module):
             jitter = (jax.random.uniform(jitter_rng, ()) * 2 - 1) \
                 * shape.jitter_grid * shape.spatial_scale
             pos = pos + jitter
-        sdf = self.get_sdf(pos, feats=feats)[..., 0]
+        if (shape.sparse_band_eval and grid.is_lattice
+                and grid.res % 2 == 0 and grid.res >= 64):
+            # band-sparse MLP sweep: exact values near the surface, coarse
+            # interpolation elsewhere (`ops.dmtet.sdf_lattice_banded`)
+            sdf, _ = dmtet.sdf_lattice_banded(
+                lambda p: self.get_sdf(p, feats=feats)[..., 0],
+                pos, grid.res, band_tau=shape.band_tau,
+                seg_cap=shape.band_seg_cap)
+        else:
+            sdf = self.get_sdf(pos, feats=feats)[..., 0]
         out = dmtet.marching_tets(pos, sdf, grid, v_cap, f_cap)
         mesh = make_mesh(out.verts[None], out.faces, out.v_valid, out.f_valid,
                          out.num_verts, out.num_faces, face_gidx=out.face_gidx)

@@ -27,6 +27,12 @@ class ShapeConfig:
     symmetrize: bool = False
     grid_res_coarse_iter_range: Optional[Tuple[float, float]] = None
     grid_res_coarse: int = 128
+    # band-sparse lattice SDF evaluation (ops.dmtet.sdf_lattice_banded):
+    # evaluate the MLP densely only within ±band_tau fine cells of the
+    # coarse-interpolated surface; identical meshes for near-eikonal fields
+    sparse_band_eval: bool = True
+    band_tau: float = 4.0
+    band_seg_cap: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -115,6 +115,16 @@ class Trainer:
         ds_cfg.pop("path", None)
         self.cfg_dataset = cfglib.bind(DataLoaderConfig, ds_cfg)
         self.mesh = meshlib.get_mesh(self.cfg.mesh_shape)
+        bs = self.cfg_dataset.batch_size
+        if self.cfg.mesh_shape is None and bs % self.mesh.size != 0:
+            # default mesh (all devices) but the batch can't fill it: use
+            # the largest dp that divides the batch instead of raising in
+            # shard_batch (an EXPLICIT mesh_shape stays strict)
+            import math
+            dp = math.gcd(self.mesh.size, bs)
+            print(f"dp mesh {self.mesh.size} does not divide batch {bs}; "
+                  f"using dp={dp}")
+            self.mesh = meshlib.get_mesh({"dp": dp})
         self.metrics_trace = MetricsTrace()
         self._train_steps = {}       # phase.key -> compiled step
         self._disc_step = None

@@ -27,3 +27,18 @@ try:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 except Exception:
     pass
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_mixed_precision():
+    """The mixed-precision policy is a process global set by Trainer /
+    build-time config; reset it per test so a bf16 run config in one test
+    (e.g. test_visualization's Trainer) can't degrade a later parity test's
+    tolerances (seen: test_dino_vit_parity at 1.8e-2 after bf16 leak)."""
+    from animals3d_tpu.precision import set_mixed_precision
+    set_mixed_precision(None)
+    yield
+    set_mixed_precision(None)

@@ -101,13 +101,13 @@ def test_optimizer_scheduler_multistep():
     assert abs(steps[2] - 0.5) < 1e-4 and abs(steps[3] - 0.5) < 1e-4
 
 
-def test_enable_refine_rejected():
-    import pytest
-    from animals3d_tpu.models import build_model
+def test_enable_refine_binds():
+    """enable_refine composes and binds (the refine nets are implemented;
+    `tests/test_predictors.py::test_articulation_refine` exercises them)."""
     cfg = config.load_config(
         "train_magicpony_horse",
-        overrides=["model.cfg_predictor_instance.cfg_articulation.enable_refine=true"])
-    with pytest.raises(NotImplementedError):
-        m = build_model({**dict(cfg["model"]), "dataset": cfg["dataset"]})
-        import jax
-        m.init_params(jax.random.PRNGKey(0))
+        overrides=["model.cfg_predictor_instance.cfg_articulation.enable_refine=true",
+                   "+model.cfg_predictor_instance.cfg_articulation.refine_feature_mode=dino_global"])
+    arti = cfg["model"]["cfg_predictor_instance"]["cfg_articulation"]
+    assert arti["enable_refine"] is True
+    assert arti["refine_feature_mode"] == "dino_global"

@@ -140,3 +140,51 @@ def test_lattice_bce_matches_generic():
         lambda s: dmtet.sdf_bce_reg_loss(s, jnp.asarray(grid.edges)))(sdf)
     np.testing.assert_allclose(np.asarray(g_lat), np.asarray(g_gen),
                                atol=1e-7, rtol=1e-4)
+
+
+def test_sdf_lattice_banded_matches_dense():
+    """Band-sparse lattice evaluation returns the exact MLP values on every
+    vertex that matters: the extracted mesh is identical to the dense sweep
+    (`ops.dmtet.sdf_lattice_banded`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from animals3d_tpu.geometry import tets as tetlib
+    from animals3d_tpu.ops import dmtet as dm
+
+    res = 32
+    grid = tetlib.load_tet_grid(res, data_dir="/tmp/tets_cache_band")
+    assert grid.is_lattice
+    pos = jnp.asarray(grid.verts) * 7.0
+
+    # near-eikonal analytic field + a smooth MLP-ish perturbation
+    def sdf_fn(p):
+        r = jnp.linalg.norm(p * jnp.asarray([1.0, 1.0, 0.6]), axis=-1)
+        bump = 0.12 * jnp.sin(p[..., 0] * 2.1) * jnp.cos(p[..., 1] * 1.7)
+        return (1.4 - r) + bump
+
+    dense = sdf_fn(pos)
+    banded, count = dm.sdf_lattice_banded(sdf_fn, pos, res, band_tau=4.0)
+    assert int(count) > 0
+    n = res + 1
+    v_cap, f_cap = 8192, 16384
+    out_d = dm.marching_tets_lattice(pos, dense, res, v_cap, f_cap)
+    out_b = dm.marching_tets_lattice(pos, banded, res, v_cap, f_cap)
+    assert int(out_d.num_verts) == int(out_b.num_verts) > 0
+    assert int(out_d.num_faces) == int(out_b.num_faces) > 0
+    np.testing.assert_allclose(np.asarray(out_d.verts),
+                               np.asarray(out_b.verts), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_d.faces),
+                                  np.asarray(out_b.faces))
+
+    # in-band values are the exact field, not the interpolation
+    h = float(pos[1, 2] - pos[0, 2])
+    band = np.abs(np.asarray(dense)) < 2.0 * h
+    np.testing.assert_allclose(np.asarray(banded)[band],
+                               np.asarray(dense)[band], atol=1e-6)
+
+    # overflow capacity -> dense fallback, still exact everywhere
+    full, _ = dm.sdf_lattice_banded(sdf_fn, pos, res, band_tau=4.0,
+                                    seg_cap=4)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(dense),
+                               atol=1e-6)

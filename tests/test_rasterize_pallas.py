@@ -132,14 +132,15 @@ def test_resolve_grad_pallas_matches_scatter():
     np.testing.assert_allclose(d, want, atol=1e-5, rtol=1e-5)
 
 
-def test_pixel_gather_mxu_vjp_wiring():
-    """jax.grad through the custom_vjp gather (interpret-mode backward)
-    equals the plain-gather gradient."""
+def test_resolve_rows_cm_fwd_and_vjp():
+    """The channel-major one-hot-matmul resolve rows equal the plain gather
+    (re-laid out), and jax.grad through the custom_vjp equals the
+    plain-gather gradient (both interpret mode)."""
     import numpy as np
-    from animals3d_tpu.ops.rasterize import _pixel_gather_mxu_bwd
+    from animals3d_tpu.ops.rasterize import _resolve_rows_cm
     from animals3d_tpu.ops.rasterize_pallas import TILE_H, TILE_W
 
-    B, H, W, R = 2, 32, 64, 7
+    B, H, W, R = 2, 32, 64, 8         # R multiple of 8 (kernel contract)
     chunk, nch = 64, 2
     Fp = chunk * nch
     F = 90
@@ -153,20 +154,87 @@ def test_pixel_gather_mxu_vjp_wiring():
     sel = jnp.asarray(r.integers(0, F, (B, n_pix)), dtype=jnp.int32)
     pf = jnp.asarray(r.normal(0, 1, (B, F, R)).astype(np.float32))
     nty, ntx = H // TILE_H, W // TILE_W
-    overlap = jnp.ones((B, nty * ntx, nch), bool)
+    won = jnp.ones((B, nty * ntx, nch), bool)
+
+    def to_cm_tile(rows):                       # (B, HW, R) -> (B, R, T*TP)
+        t = rows.reshape(B, nty, TILE_H, ntx, TILE_W, R) \
+            .transpose(0, 1, 3, 2, 4, 5).reshape(B, n_pix, R)
+        return t.transpose(0, 2, 1)
+
+    rT = _resolve_rows_cm(pf, sel, jnp.asarray(ids_sorted), won, (H, W))
+    want = to_cm_tile(jax.vmap(lambda p, s: p[s])(pf, sel))
+    np.testing.assert_allclose(np.asarray(rT), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    w = (jnp.arange(rT.size, dtype=jnp.float32) % 13).reshape(rT.shape)
 
     def loss_mxu(pf):
-        rows = _pixel_gather_mxu_bwd(pf, sel, jnp.asarray(ids_sorted),
-                                     overlap, (H, W))
-        w = (jnp.arange(rows.size, dtype=jnp.float32) % 13).reshape(rows.shape)
-        return jnp.sum(rows * w)
+        rT = _resolve_rows_cm(pf, sel, jnp.asarray(ids_sorted), won, (H, W))
+        return jnp.sum(rT * w)
 
     def loss_ref(pf):
-        rows = jax.vmap(lambda p, s: p[s])(pf, sel)
-        w = (jnp.arange(rows.size, dtype=jnp.float32) % 13).reshape(rows.shape)
-        return jnp.sum(rows * w)
+        return jnp.sum(to_cm_tile(jax.vmap(lambda p, s: p[s])(pf, sel)) * w)
 
     ga = jax.grad(loss_mxu)(pf)
     gb = jax.grad(loss_ref)(pf)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_resolve_kernel_path_matches_gather_path(monkeypatch):
+    """Full `resolve` on a real rasterized scene: the Pallas kernel path
+    (A3D_FORCE_MXU, interpret) matches the XLA gather path, values + grads,
+    including background masking (kernel emits zeros, gather emits pf[0])."""
+    import numpy as np
+    from animals3d_tpu.ops.rasterize import resolve
+    from animals3d_tpu.ops.rasterize_pallas import rasterize_pallas
+
+    r = np.random.default_rng(7)
+    B, V, F = 2, 60, 40
+    H = W = 32
+    v = r.normal(0, 0.4, (B, V, 3)).astype(np.float32)
+    v[..., 2] += 3.0
+    w = np.ones((B, V, 1), np.float32) * v[..., 2:3]
+    v_clip = jnp.asarray(np.concatenate([v[..., :2] * 2, v[..., 2:] * 0.5,
+                                         w], -1))
+    faces = jnp.asarray(r.integers(0, V, (F, 3)), dtype=jnp.int32)
+    f_valid = jnp.ones((F,), bool)
+    attr = jnp.asarray(r.normal(0, 1, (B, V, 5)).astype(np.float32))
+    fattr = jnp.asarray(r.normal(0, 1, (B, F, 3)).astype(np.float32))
+
+    pv = jnp.concatenate([jnp.asarray(v), v_clip], -1)
+    tab = pv.transpose(1, 0, 2).reshape(V, B * 7)
+    fvr = tab[faces]
+    rast = rasterize_pallas(v_clip, faces, f_valid, (H, W), chunk=32,
+                            interpret=True, fv_rows=fvr)
+    assert rast.bw_aux is not None
+    assert int(jnp.sum(rast.face_id > 0)) > 50    # scene actually covers
+
+    def run(force):
+        if force:
+            monkeypatch.setenv("A3D_FORCE_MXU", "1")
+        else:
+            monkeypatch.delenv("A3D_FORCE_MXU", raising=False)
+            monkeypatch.setenv("A3D_NO_MXU_BWD", "1")
+
+        def f(v_clip, attr, fattr):
+            uv, out, fa = resolve(attr, rast, v_clip, faces, face_attr=fattr)
+            q = (jnp.arange(out.size, dtype=jnp.float32) % 7).reshape(out.shape)
+            q2 = (jnp.arange(fa.size, dtype=jnp.float32) % 5).reshape(fa.shape)
+            q3 = (jnp.arange(uv.size, dtype=jnp.float32) % 3).reshape(uv.shape)
+            return (jnp.sum(out * q) + jnp.sum(fa * q2) + jnp.sum(uv * q3),
+                    (uv, out, fa))
+
+        (loss, outs), grads = jax.value_and_grad(
+            f, argnums=(0, 1, 2), has_aux=True)(v_clip, attr, fattr)
+        monkeypatch.delenv("A3D_NO_MXU_BWD", raising=False)
+        return loss, outs, grads
+
+    l1, o1, g1 = run(True)
+    l2, o2, g2 = run(False)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
