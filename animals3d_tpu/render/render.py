@@ -158,7 +158,12 @@ def render_mesh(
     if material_fn is not None:
         all_tex = material_fn(gb_tex_pos)
     else:
-        all_tex = jnp.ones((*gb_pos.shape[:-1], 9), gb_pos.dtype)
+        # default material: white kd, ks = (occlusion 0, roughness 1,
+        # metallic 0) — occlusion 1 would zero the env-light path through
+        # the reference's (1 - ks.x) hemisphere-visibility modulation
+        all_tex = jnp.broadcast_to(
+            jnp.asarray([1, 1, 1, 0, 1, 0, 1, 1, 1], gb_pos.dtype),
+            (*gb_pos.shape[:-1], 9))
     kd, ks = all_tex[..., :3], all_tex[..., 3:6]
 
     dino_pred = dino_fn(gb_tex_pos) if dino_fn is not None else None
