@@ -9,9 +9,10 @@ Reference: the `Mesh` class + `make_mesh`/`auto_normals`/`compute_tangents`
     masks (`v_valid`, `f_valid`) coming from the static-shape marching tets;
   * invalid faces are (0,0,0)-degenerate and contribute nothing to normals or
     rasterization;
-  * tangents are not computed: the training path hard-sets
-    `perturbed_nrm = None` (`render.py:71`), so tangent frames are never
-    consumed; `v_tng` is provided as a constant frame for buffer parity.
+  * tangents are opt-in (`compute_tangents` + `Mesh.v_tng`): the training
+    path hard-sets `perturbed_nrm = None` (`render.py:71`), so tangent
+    frames are never consumed there; they exist for the `tangent` render
+    buffer and any future normal-map perturbation.
 """
 from __future__ import annotations
 
@@ -38,6 +39,7 @@ class Mesh:
     v_nrm: Optional[jax.Array] = None        # (B, V, 3)
     v_tex: Optional[jax.Array] = None        # (B, V, 3) canonical-space pos
     face_gidx: Optional[jax.Array] = None    # (F,) int32 static global face id
+    v_tng: Optional[jax.Array] = None        # (B, V, 3) mikktspace tangents
 
     @property
     def batch_size(self) -> int:
@@ -51,22 +53,21 @@ class Mesh:
     def with_positions(self, v_pos: jax.Array) -> "Mesh":
         return dataclasses.replace(self, v_pos=v_pos)
 
+    def _map_batched(self, fn) -> "Mesh":
+        app = lambda a: (fn(a) if a is not None and a.ndim == 3 else a)
+        return dataclasses.replace(
+            self, v_pos=app(self.v_pos), v_nrm=app(self.v_nrm),
+            v_tex=app(self.v_tex), v_tng=app(self.v_tng))
+
     def extend(self, n: int) -> "Mesh":
         """Repeat batch entries n times (B → B*n), like mesh.extend."""
-        rep = lambda a: (jnp.repeat(a, n, axis=0) if a is not None and a.ndim == 3
-                         else a)
-        return dataclasses.replace(
-            self, v_pos=rep(self.v_pos), v_nrm=rep(self.v_nrm), v_tex=rep(self.v_tex))
+        return self._map_batched(lambda a: jnp.repeat(a, n, axis=0))
 
     def first_n(self, n: int) -> "Mesh":
-        take = lambda a: (a[:n] if a is not None and a.ndim == 3 else a)
-        return dataclasses.replace(
-            self, v_pos=take(self.v_pos), v_nrm=take(self.v_nrm), v_tex=take(self.v_tex))
+        return self._map_batched(lambda a: a[:n])
 
     def get_n(self, i: int) -> "Mesh":
-        take = lambda a: (a[i:i + 1] if a is not None and a.ndim == 3 else a)
-        return dataclasses.replace(
-            self, v_pos=take(self.v_pos), v_nrm=take(self.v_nrm), v_tex=take(self.v_tex))
+        return self._map_batched(lambda a: a[i:i + 1])
 
 
 def face_normals(v_pos: jax.Array, t_pos_idx: jax.Array, f_valid: jax.Array,
@@ -108,6 +109,51 @@ def auto_normals(v_pos: jax.Array, t_pos_idx: jax.Array, v_valid: jax.Array,
     fallback = jnp.asarray([0.0, 0.0, 1.0], v_pos.dtype)
     v_nrm = jnp.where(dot > 1e-20, v_nrm, fallback)
     return safe_normalize(v_nrm)
+
+
+def compute_tangents(v_pos: jax.Array, t_pos_idx: jax.Array,
+                     face_uvs: jax.Array, v_nrm: jax.Array,
+                     v_valid: jax.Array, f_valid: jax.Array) -> jax.Array:
+    """Per-vertex mikktspace tangents (reference `compute_tangents`,
+    `mesh.py:310-350`): per-face tangent from the UV edge system, averaged
+    over incident faces, then Gram-Schmidt-orthogonalized against `v_nrm`.
+
+    `face_uvs` is (F, 3, 2) per-face-corner UVs — the layout our per-tet
+    atlas produces (`render/export.py:face_cell_uvs` / reference `map_uv`,
+    `dmtet.py:69-98`); the reference's separate `t_tex_idx` indirection
+    collapses to this since atlas corners are never shared across faces.
+    Batch-in-row tables as in `auto_normals` (scatter cost is per row)."""
+    B, V, _ = v_pos.shape
+    F = t_pos_idx.shape[0]
+    tab = v_pos.transpose(1, 0, 2).reshape(V, B * 3)
+    c0 = tab[t_pos_idx[:, 0]].reshape(F, B, 3)
+    c1 = tab[t_pos_idx[:, 1]].reshape(F, B, 3)
+    c2 = tab[t_pos_idx[:, 2]].reshape(F, B, 3)
+    uve1 = face_uvs[:, 1] - face_uvs[:, 0]            # (F, 2)
+    uve2 = face_uvs[:, 2] - face_uvs[:, 0]
+    nom = ((c1 - c0) * uve2[:, None, 1:2]
+           - (c2 - c0) * uve1[:, None, 1:2])          # (F, B, 3)
+    denom = (uve1[:, 0] * uve2[:, 1]
+             - uve1[:, 1] * uve2[:, 0])[:, None, None]
+    denom = jnp.where(denom > 0, jnp.maximum(denom, 1e-6),
+                      jnp.minimum(denom, -1e-6))
+    tang = jnp.where(f_valid[:, None, None], nom / denom, 0.0) \
+        .reshape(F, B * 3)
+    acc = jnp.zeros((V, B * 3), v_pos.dtype)
+    cnt = jnp.zeros((V, 1), v_pos.dtype)
+    ones = f_valid.astype(v_pos.dtype)[:, None]
+    for k in range(3):
+        acc = acc.at[t_pos_idx[:, k]].add(tang)
+        cnt = cnt.at[t_pos_idx[:, k]].add(ones)
+    t = (acc / jnp.maximum(cnt, 1.0)).reshape(V, B, 3).transpose(1, 0, 2)
+    t = safe_normalize(t)
+    t = t - jnp.sum(t * v_nrm, -1, keepdims=True) * v_nrm
+    # degenerate/invalid verts get a constant frame (normalize of ~0 would
+    # blow up); [1,0,0] matches the buffer-parity convention
+    good = jnp.sum(t * t, -1, keepdims=True) > 1e-12
+    fallback = jnp.asarray([1.0, 0.0, 0.0], v_pos.dtype)
+    t = jnp.where(good & v_valid[None, :, None], safe_normalize(t), fallback)
+    return t
 
 
 def make_mesh(v_pos: jax.Array, t_pos_idx: jax.Array, v_valid: jax.Array,

@@ -126,6 +126,11 @@ def render_mesh(
         delta = xy[:, 1:] - xy[:, :-1]
         delta = jnp.concatenate([delta, jnp.zeros_like(delta[:, :1])], 1)
         chans.append(delta.reshape(-1, *delta.shape[2:]))
+    want_tangent = "tangent" in render_modes and mesh.v_tng is not None
+    if want_tangent:
+        # mikktspace frame for the `tangent` buffer (reference render.py:196)
+        chans.append(jnp.broadcast_to(mesh.v_tng,
+                                      (B, *mesh.v_tng.shape[1:])))
     # face normals from the shared fvr gather (cross of pre-gathered verts),
     # computed on minor-F arrays — (B, F, 3)-shaped math runs at ~2% VPU
     # lane occupancy; they ride in resolve's per-face row, so the per-pixel
@@ -150,7 +155,12 @@ def render_mesh(
     gb_pos = fused[..., 0:3]
     gb_normal = fused[..., 3:6]
     gb_tex_pos = fused[..., 6:9]
-    flow_interp = fused[..., 9:11] if "flow" in render_modes else None
+    off = 9
+    flow_interp = None
+    if "flow" in render_modes:
+        flow_interp = fused[..., off:off + 2]
+        off += 2
+    gb_tangent = fused[..., off:off + 3] if want_tangent else None
     shade_mask = rast.mask[..., None].astype(v_clip.dtype)
     gb_geo_normal = gb_geo_normal * shade_mask
 
@@ -194,6 +204,8 @@ def render_mesh(
         "normal": (gb_shading_normal + 1.0) * 0.5,
         "geo_normal": (gb_geo_normal + 1.0) * 0.5,
     }
+    if gb_tangent is not None:
+        buffers["tangent"] = (gb_tangent + 1.0) * 0.5
     if shading_buf is not None:
         buffers["shading"] = shading_buf
     if flow_interp is not None:
@@ -253,7 +265,7 @@ def render_mesh(
         if spp > 1:
             accum = avg_pool_nhwc(accum, spp)
         # reference channel slicing (`render.py:320-333`)
-        if key in ("kd", "ks", "normal", "geo_normal"):
+        if key in ("kd", "ks", "normal", "geo_normal", "tangent"):
             accum = accum[..., :3]
         elif key in ("shading", "depth"):
             accum = accum[..., :1]

@@ -161,3 +161,68 @@ def test_env_light_render_path():
     assert shaded[0][mask].mean() > shaded[2][mask].mean()
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_compute_tangents_oracle_and_render_buffer():
+    """compute_tangents vs a literal numpy transcription of the reference
+    (`/root/reference/model/render/mesh.py:310-350`), then the `tangent`
+    render buffer end-to-end."""
+    import dataclasses
+    from animals3d_tpu.geometry.mesh import compute_tangents
+    from animals3d_tpu.render.export import face_cell_uvs
+
+    mesh, _ = _sphere_mesh(grid_res=8)
+    F = mesh.t_pos_idx.shape[0]
+    uvs, _ = face_cell_uvs(F)
+
+    tng = np.asarray(compute_tangents(
+        mesh.v_pos, mesh.t_pos_idx, jnp.asarray(uvs), mesh.v_nrm,
+        mesh.v_valid, mesh.f_valid))
+
+    # --- numpy oracle (reference semantics, valid faces only) ---
+    v = np.asarray(mesh.v_pos[0])
+    n = np.asarray(mesh.v_nrm[0])
+    fidx = np.asarray(mesh.t_pos_idx)
+    fval = np.asarray(mesh.f_valid)
+    acc = np.zeros_like(v)
+    cnt = np.zeros((v.shape[0], 1))
+    for f in np.nonzero(fval)[0]:
+        i0, i1, i2 = fidx[f]
+        uve1 = uvs[f, 1] - uvs[f, 0]
+        uve2 = uvs[f, 2] - uvs[f, 0]
+        pe1 = v[i1] - v[i0]
+        pe2 = v[i2] - v[i0]
+        nom = pe1 * uve2[1] - pe2 * uve1[1]
+        den = uve1[0] * uve2[1] - uve1[1] * uve2[0]
+        den = max(den, 1e-6) if den > 0 else min(den, -1e-6)
+        t = nom / den
+        for i in (i0, i1, i2):
+            acc[i] += t
+            cnt[i] += 1
+    vv = np.asarray(mesh.v_valid) & (cnt[:, 0] > 0)
+    t = acc / np.maximum(cnt, 1)
+    t /= np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-10)
+    t = t - (t * n).sum(-1, keepdims=True) * n
+    resid = np.linalg.norm(t, axis=-1, keepdims=True)
+    # exclude tangent-parallel-to-normal degeneracies: there the oracle
+    # normalizes numerical noise while the kernel picks its [1,0,0] fallback
+    vv &= resid[:, 0] > 1e-5
+    t /= np.maximum(resid, 1e-10)
+
+    np.testing.assert_allclose(tng[0][vv], t[vv], atol=1e-4)
+    # unit length + orthogonal to normals on valid verts
+    np.testing.assert_allclose(
+        np.linalg.norm(tng[0][vv], axis=-1), 1.0, atol=1e-4)
+    assert np.abs((tng[0][vv] * n[vv]).sum(-1)).max() < 1e-3
+
+    # --- render buffer ---
+    mesh_t = dataclasses.replace(
+        mesh, v_tng=jnp.asarray(compute_tangents(
+            mesh.v_pos, mesh.t_pos_idx, jnp.asarray(uvs), mesh.v_nrm,
+            mesh.v_valid, mesh.f_valid)))
+    mvp, w2c, campos = _camera()
+    out = render_mesh(mesh_t, mvp, w2c, campos, (32, 32),
+                      render_modes=("shaded", "tangent"))
+    assert out["tangent"].shape == (1, 3, 32, 32)
+    assert np.isfinite(np.asarray(out["tangent"])).all()
+    assert float(jnp.abs(out["tangent"]).sum()) > 0
