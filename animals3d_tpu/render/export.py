@@ -219,3 +219,69 @@ def load_obj(path: str):
     return (np.asarray(verts, np.float32), np.asarray(faces, np.int32),
             np.asarray(uvs, np.float32) if uvs else None,
             np.asarray(uv_idx, np.int32) if uv_idx else None)
+
+
+def load_mtl(path: str, clear_ks: bool = True):
+    """Parse a `.mtl` file into material dicts (reference `load_mtl`,
+    `material.py:54-102`): per `newmtl` block, scalar fields become float
+    arrays, `map_kd`/`map_ks`/`bump` load textures relative to the file;
+    constants are promoted to 1×1 maps so `kd`/`ks` are always textures;
+    `kd` converts sRGB→linear; `clear_ks` zeroes the hijacked ORM occlusion
+    (red) channel."""
+    import re
+    from PIL import Image
+
+    from animals3d_tpu.ops.shading import srgb_to_rgb
+
+    mtl_dir = os.path.dirname(path)
+
+    def load_tex(fn, channels=3, lambda_fn=None):
+        img = np.asarray(Image.open(os.path.join(mtl_dir, fn)),
+                         np.float32) / 255.0
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.shape[-1] < channels:
+            img = np.repeat(img, channels, -1)
+        img = img[..., :channels]
+        if lambda_fn is not None:
+            img = lambda_fn(img)
+        return jnp.asarray(img)
+
+    materials = []
+    with open(path) as f:
+        for line in f:
+            parts = re.split(r"[ \t]+", line.strip())
+            if not parts or not parts[0]:
+                continue
+            prefix, data = parts[0].lower(), parts[1:]
+            if "newmtl" in prefix:
+                materials.append({"name": data[0]})
+            elif materials:
+                if prefix in ("bsdf", "map_kd", "map_ks", "bump"):
+                    materials[-1][prefix] = data[0]
+                else:
+                    try:
+                        materials[-1][prefix] = np.asarray(
+                            [float(d) for d in data], np.float32)
+                    except ValueError:
+                        pass
+
+    for mat in materials:
+        mat.setdefault("bsdf", "pbr")
+        if "map_kd" in mat:
+            mat["kd"] = load_tex(mat["map_kd"])
+        else:
+            mat["kd"] = jnp.asarray(mat.get("kd", np.ones(3, np.float32))) \
+                .reshape(1, 1, -1)
+        if "map_ks" in mat:
+            mat["ks"] = load_tex(mat["map_ks"], channels=3)
+        else:
+            mat["ks"] = jnp.asarray(mat.get("ks", np.zeros(3, np.float32))) \
+                .reshape(1, 1, -1)
+        if "bump" in mat:
+            mat["normal"] = load_tex(mat["bump"], channels=3,
+                                     lambda_fn=lambda x: x * 2 - 1)
+        mat["kd"] = srgb_to_rgb(mat["kd"])
+        if clear_ks:
+            mat["ks"] = mat["ks"].at[..., 0].set(0.0)
+    return materials

@@ -57,6 +57,10 @@ class TrainerConfig:
     fix_log_batch: bool = False
     save_train_result_freq: Optional[int] = None
     mixed_precision: Optional[str] = "bf16"
+    # sanitizer (SURVEY §5.2): jax_debug_nans makes XLA re-run the first
+    # NaN-producing op eagerly and raise AT the op instead of at the
+    # loss-is-finite check below — slow, debugging only
+    debug_nans: bool = False
     disc_train: bool = False
     remake_dataloader_iter: int = -1
     remake_dataloader_num: int = -1
@@ -111,6 +115,8 @@ class Trainer:
         self.model = model
         from animals3d_tpu.precision import set_mixed_precision
         set_mixed_precision(self.cfg.mixed_precision)
+        if self.cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         ds_cfg = dict(cfg.get("dataset") or {})
         ds_cfg.pop("path", None)
         self.cfg_dataset = cfglib.bind(DataLoaderConfig, ds_cfg)

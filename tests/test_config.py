@@ -111,3 +111,20 @@ def test_enable_refine_binds():
     arti = cfg["model"]["cfg_predictor_instance"]["cfg_articulation"]
     assert arti["enable_refine"] is True
     assert arti["refine_feature_mode"] == "dino_global"
+
+
+def test_debug_nans_flag_binds():
+    """`+debug_nans=true` reaches TrainerConfig (sanitizer hook, SURVEY
+    §5.2); default stays off."""
+    from animals3d_tpu.trainer import TrainerConfig
+
+    cfg = config.load_config("train_magicpony_horse",
+                             overrides=["+debug_nans=true"])
+    keys = {f.name for f in dataclasses.fields(TrainerConfig)}
+    tc = config.bind(TrainerConfig, {k: v for k, v in cfg.items()
+                                     if k in keys})
+    assert tc.debug_nans is True
+    cfg0 = config.load_config("train_magicpony_horse")
+    tc0 = config.bind(TrainerConfig, {k: v for k, v in cfg0.items()
+                                      if k in keys})
+    assert tc0.debug_nans is False

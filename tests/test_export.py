@@ -107,3 +107,47 @@ def test_obj_export_reference_uv_layout(tmp_path):
     assert verts.shape[0] == nv_valid and faces.shape[0] == nf_valid
     # all uvs inside [0, 1]
     assert (uvs >= -1e-6).all() and (uvs <= 1 + 1e-6).all()
+
+
+def test_load_mtl_roundtrip(tmp_path):
+    """load_mtl parses what save_obj_with_mtl writes, plus constants and
+    ks-occlusion clearing (reference `material.py:54-102`)."""
+    import numpy as np
+    from PIL import Image
+    from animals3d_tpu.render.export import load_mtl
+    from animals3d_tpu.ops.shading import srgb_to_rgb
+
+    tex = (np.linspace(0, 1, 8 * 8 * 3).reshape(8, 8, 3) * 255).astype("uint8")
+    Image.fromarray(tex).save(tmp_path / "m_kd.png")
+    ks = (np.full((4, 4, 3), 128)).astype("uint8")
+    Image.fromarray(ks).save(tmp_path / "m_ks.png")
+    (tmp_path / "m.mtl").write_text(
+        "newmtl material_0\n"
+        "bsdf   pbr\n"
+        "map_Kd m_kd.png\n"
+        "map_Ks m_ks.png\n"
+        "bump   m_ks.png\n"
+        "newmtl flat\n"
+        "Kd 0.5 0.25 0.125\n"
+        "Ks 0.0 0.4 0.2\n")
+    mats = load_mtl(str(tmp_path / "m.mtl"))
+    assert [m["name"] for m in mats] == ["material_0", "flat"]
+    m0, m1 = mats
+    assert m0["kd"].shape == (8, 8, 3) and m0["ks"].shape == (4, 4, 3)
+    # kd is sRGB->linear of the stored image
+    want = np.asarray(srgb_to_rgb(tex.astype(np.float32) / 255.0))
+    np.testing.assert_allclose(np.asarray(m0["kd"]), want, atol=1e-5)
+    # occlusion channel cleared, others kept
+    np.testing.assert_allclose(np.asarray(m0["ks"][..., 0]), 0.0)
+    np.testing.assert_allclose(np.asarray(m0["ks"][..., 1]), 128 / 255.0,
+                               atol=1e-5)
+    # bump maps to [-1, 1]
+    np.testing.assert_allclose(np.asarray(m0["normal"]),
+                               2 * (128 / 255.0) - 1, atol=1e-5)
+    # constant material becomes 1x1 maps
+    assert m1["kd"].shape == (1, 1, 3) and m1["ks"].shape == (1, 1, 3)
+    np.testing.assert_allclose(
+        np.asarray(m1["kd"])[0, 0],
+        np.asarray(srgb_to_rgb(jnp.asarray([0.5, 0.25, 0.125]))), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m1["ks"])[0, 0], [0.0, 0.4, 0.2],
+                               atol=1e-6)
