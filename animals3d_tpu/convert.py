@@ -87,6 +87,60 @@ def convert_encoder32(sd):
             "conv_out": conv(sd, "network.9")}
 
 
+def batchnorm(sd, prefix):
+    """torch BatchNorm2d (weight/bias/running stats) → FrozenBatchNorm."""
+    return {"scale": _t(sd[f"{prefix}.weight"]),
+            "bias": _t(sd[f"{prefix}.bias"]),
+            "mean": _t(sd[f"{prefix}.running_mean"]),
+            "var": _t(sd[f"{prefix}.running_var"])}
+
+
+def convert_vgg16_features(sd, prefix="features"):
+    """torchvision vgg16 `features` Sequential → VGG16Features
+    (conv layer indices 0,2,5,7,10,12,14,17,19,21,24,26,28)."""
+    idxs = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    return {f"conv_{i}": conv(sd, f"{prefix}.{j}", bias=True)
+            for i, j in enumerate(idxs)}
+
+
+def convert_vgg_encoder(sd):
+    """reference VGGEncoder (`encoders.py:91-106`): vgg_encoder.0 holds
+    vgg16.features; linear1/linear2 are the replaced classifier."""
+    return {"features": convert_vgg16_features(sd, "vgg_encoder.0"),
+            "linear1": linear(sd, "linear1"),
+            "linear2": linear(sd, "linear2")}
+
+
+def convert_resnet18_trunk(sd, prefix=""):
+    """torchvision resnet18 (minus fc) → ResNet18Trunk."""
+    p = (prefix + ".") if prefix else ""
+    out = {"conv1": conv(sd, f"{p}conv1"), "bn1": batchnorm(sd, f"{p}bn1")}
+    for li in range(1, 5):
+        for bi in range(2):
+            bp = f"{p}layer{li}.{bi}"
+            blk = {"conv1": conv(sd, f"{bp}.conv1"),
+                   "bn1": batchnorm(sd, f"{bp}.bn1"),
+                   "conv2": conv(sd, f"{bp}.conv2"),
+                   "bn2": batchnorm(sd, f"{bp}.bn2")}
+            if f"{bp}.downsample.0.weight" in sd:
+                blk["downsample"] = conv(sd, f"{bp}.downsample.0")
+                blk["downsample_bn"] = batchnorm(sd, f"{bp}.downsample.1")
+            out[f"layer{li}_{bi}"] = blk
+    return out
+
+
+def convert_resnet_encoder(sd):
+    """reference ResnetEncoder (`encoders.py:108-115`)."""
+    return {"resnet": convert_resnet18_trunk(sd, "resnet"),
+            "final_linear": linear(sd, "final_linear")}
+
+
+def convert_resnet_depth_encoder(sd):
+    """reference ResnetDepthEncoder (`encoders.py:117-146`) — the trunk
+    lives under `resnet.`."""
+    return {"resnet": convert_resnet18_trunk(sd, "resnet")}
+
+
 def convert_vit_block(sd):
     """DINO ViT block → networks.vit.ViTBlock."""
     return {

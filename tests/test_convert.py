@@ -167,3 +167,89 @@ def test_motion_vae_encoder_parity(refnets):
     np.testing.assert_allclose(np.asarray(mu_g), mu_w.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(logvar_g), logvar_w.numpy(),
                                atol=1e-4)
+
+
+def test_vgg_encoder_parity():
+    """VGGEncoder vs a torchvision-naming torch transcription
+    (reference `encoders.py:91-106`) on random weights."""
+    import torch
+    import torchvision_oracle as tvo
+    from animals3d_tpu.networks.encoders import VGGEncoder
+
+    class RefVGGEncoder(torch.nn.Module):
+        def __init__(self, cout):
+            super().__init__()
+            vgg = tvo.VGG16()
+            self.vgg_encoder = torch.nn.Sequential(vgg.features, vgg.avgpool)
+            self.linear1 = torch.nn.Linear(25088, 4096)
+            self.linear2 = torch.nn.Linear(4096, cout)
+            self.relu = torch.nn.ReLU(inplace=True)
+
+        def forward(self, x):
+            b = x.shape[0]
+            out = self.relu(self.linear1(self.vgg_encoder(x).view(b, -1)))
+            return self.linear2(out)
+
+    ref = tvo.randomize_(RefVGGEncoder(7), seed=5)
+    x = np.random.default_rng(3).normal(
+        size=(1, 3, 224, 224)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+    params = convert.convert_vgg_encoder(_sd(ref))
+    got = VGGEncoder(cout=7).apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-3, rtol=1e-3)
+
+
+def test_resnet_encoders_parity():
+    """ResnetEncoder + ResnetDepthEncoder vs the torch transcription
+    (reference `encoders.py:108-146`), incl. BN running stats and the
+    layer2 local-feature tap + ImageNet normalization."""
+    import torch
+    import torchvision_oracle as tvo
+    from animals3d_tpu.networks.encoders import (ResnetDepthEncoder,
+                                                 ResnetEncoder)
+
+    class RefResnetEncoder(torch.nn.Module):
+        def __init__(self, cout):
+            super().__init__()
+            self.resnet = tvo.ResNet18()
+            self.final_linear = torch.nn.Linear(512, cout)
+
+        def forward(self, x):
+            return self.final_linear(self.resnet(x)[0])
+
+    ref = tvo.randomize_(RefResnetEncoder(6), seed=7)
+    x = np.random.default_rng(4).normal(
+        size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+    params = convert.convert_resnet_encoder(_sd(ref))
+    got = ResnetEncoder(cout=6).apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-4)
+
+    # depth encoder: normalization + layer2 tap
+    class RefDepth(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.resnet = tvo.ResNet18()
+            m = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+            s = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+            self.register_buffer("m", m)
+            self.register_buffer("s", s)
+
+        def forward(self, x):
+            return self.resnet((x - self.m) / self.s)
+
+    refd = tvo.randomize_(RefDepth(), seed=9)
+    xd = np.random.default_rng(5).uniform(
+        0, 1, (2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want_g, want_l = refd(torch.tensor(xd))
+    params = convert.convert_resnet_depth_encoder(
+        {k: v for k, v in _sd(refd).items() if k.startswith("resnet.")})
+    got_g, got_l = ResnetDepthEncoder().apply({"params": params},
+                                              jnp.asarray(xd))
+    np.testing.assert_allclose(np.asarray(got_g), want_g.numpy(),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_l), want_l.numpy(),
+                               atol=2e-4, rtol=1e-4)
