@@ -23,7 +23,10 @@ _cache_dir = os.environ.get("ANIMALS3D_TEST_XLA_CACHE",
 try:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    # threshold 0: the suite's dominant cost is ~1400 eager-op dispatch
+    # compiles per heavy test file (~35 ms each, 47 s/file profiled) that a
+    # 2 s threshold would refuse to persist
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 except Exception:
     pass
