@@ -149,7 +149,7 @@ def main():
     # step so nothing folds) — same tunnel-overhead amortization as recon
     KT = 3 if not tiny else 2
 
-    def train_step(carry, i, rng):
+    def train_step(carry, i, tbatch, rng, grid):
         params, opt_state, acc = carry
         b2 = jax.tree.map(
             lambda x: x + i.astype(x.dtype) * 1e-6
@@ -161,24 +161,29 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, acc + loss
 
-    def train_many(params, opt_state, rng):
+    # tbatch AND grid must be jit ARGUMENTS: closed over, their arrays get
+    # baked into the StableHLO as constant literals (measured: 90 MB module
+    # — 51 MB of it grid.verts alone — vs 0.8 MB for recon), bloating the
+    # remote compile service round-trip
+    def train_many(params, opt_state, tbatch, rng, grid):
         return lax.fori_loop(
-            0, KT, lambda i, c: train_step(c, i, rng),
+            0, KT, lambda i, c: train_step(c, i, tbatch, rng, grid),
             (params, opt_state, 0.0))
 
     jstep = jax.jit(train_many, donate_argnums=(0, 1))
     t0 = time.time()
-    params, opt_state, loss = jstep(params, opt_state, jax.random.PRNGKey(1))
+    params, opt_state, loss = jstep(params, opt_state, tbatch,
+                                    jax.random.PRNGKey(1), grid)
     jax.block_until_ready(loss)
     tcompile = time.time() - t0
     for i in range(warmup):
-        params, opt_state, loss = jstep(params, opt_state,
-                                        jax.random.PRNGKey(2 + i))
+        params, opt_state, loss = jstep(params, opt_state, tbatch,
+                                        jax.random.PRNGKey(2 + i), grid)
         float(loss)
     t0 = time.time()
     for i in range(iters):
-        params, opt_state, loss = jstep(params, opt_state,
-                                        jax.random.PRNGKey(100 + i))
+        params, opt_state, loss = jstep(params, opt_state, tbatch,
+                                        jax.random.PRNGKey(100 + i), grid)
         float(loss)
     tdt = (time.time() - t0) / (iters * KT)
     train_imgs = batch * F / tdt
