@@ -67,10 +67,22 @@ def _morton2(x: jax.Array, y: jax.Array) -> jax.Array:
 NSUB = 8           # sub-blocks per chunk for the in-kernel mask cull
 NBUF = 4           # DMA ring depth (prefetch distance for chunk copies)
 
+# occlusion early-out: per-chunk z-min is floor-quantized to i32 at this
+# scale (clamped to ±8 NDC) so it rides the SMEM scalar-prefetch stream;
+# floor-quantized strict `>` implies true strict `>`, so the skip is
+# conservative and cannot change winners or exact-z id tiebreaks
+ZQ_SCALE = 1048576.0
+ZQ_CLAMP = 8.0
 
-def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref, won_ref,
-                   abuf, took, sem, *, chunk: int, kmax: int, nch: int,
-                   nsub: int = NSUB):
+
+def _zq(z: jax.Array) -> jax.Array:
+    return jnp.floor(jnp.clip(z, -ZQ_CLAMP, ZQ_CLAMP) * ZQ_SCALE) \
+        .astype(jnp.int32)
+
+
+def _raster_kernel(ids_ref, cnt_ref, zlo_ref, pix_ref, A_hbm, z_ref, id_ref,
+                   won_ref, abuf, took, sem, *, chunk: int, kmax: int,
+                   nch: int, nsub: int = NSUB):
     b = pl.program_id(0)
     i = pl.program_id(1)
     T = pl.num_programs(1)
@@ -121,8 +133,14 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref, won_ref,
         slot = k % NBUF
         dma(slot, k).wait()
         A = abuf[slot]                                # (3, 8, chunk)
-        _, m8 = entry_of(k)
+        cid, m8 = entry_of(k)
         took[...] = jnp.zeros_like(took)
+        # occlusion early-out: the per-tile list is visited front-to-back
+        # (sorted by chunk z-min), so once EVERY pixel in the tile has a
+        # winner nearer than this chunk's z-min, no remaining chunk can take
+        # a pixel (strict >: exact-z id tiebreaks are unaffected) — skip
+        # the coverage math (the DMA already ran; compute is the cost)
+        live = zlo_ref[b * nch + cid] <= _zq(jnp.max(z_ref[0]))
         # The kernel cost is the (TP, faces) coverage min3 + lane reductions
         # (measured ~6 us per full 1024-face chunk); the NSUB-bit mask skips
         # sub-blocks whose bbox misses this tile, cutting that work to the
@@ -131,7 +149,7 @@ def _raster_kernel(ids_ref, cnt_ref, pix_ref, A_hbm, z_ref, id_ref, won_ref,
         # ids > 2^mantissa; the channel dim is stored as 8 because HBM
         # tiling pads the sublane dim to 8).
         for g in range(nsub):
-            @pl.when((m8 >> g) % 2 == 1)
+            @pl.when(live & ((m8 >> g) % 2 == 1))
             def _(g=g):
                 Ag = A[:, :4, g * sub:(g + 1) * sub]
                 E = jnp.dot(P, Ag.reshape(3, 4 * sub),
@@ -206,27 +224,27 @@ def _morton3(x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
     return spread(x) | (spread(y) << 1) | (spread(z) << 2)
 
 
-def _pallas_visibility(order, counts, P, A, *, B, n_pix, T, chunk, kmax,
-                       nch, nsub, interpret):
+def _pallas_visibility(order, counts, zlo_q, P, A, *, B, n_pix, T, chunk,
+                       kmax, nch, nsub, interpret):
     kwid = -(-max(kmax, 1) // 128) * 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,       # packed chunk-id/mask lists + counts
+        num_scalar_prefetch=3,   # chunk-id/mask lists + counts + chunk z-min
         grid=(B, T),
         in_specs=[
             pl.BlockSpec((1, TP, 3),
-                         lambda b, i, ids, cnt: (i, 0, 0),
+                         lambda b, i, ids, cnt, zlo: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),    # A stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((1, TP, 1),
-                         lambda b, i, ids, cnt: (b, i, 0),
+                         lambda b, i, ids, cnt, zlo: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TP, 1),
-                         lambda b, i, ids, cnt: (b, i, 0),
+                         lambda b, i, ids, cnt, zlo: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, kwid),
-                         lambda b, i, ids, cnt: (b, i, 0, 0),
+                         lambda b, i, ids, cnt, zlo: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -247,7 +265,7 @@ def _pallas_visibility(order, counts, P, A, *, B, n_pix, T, chunk, kmax,
             flops=2 * B * n_pix * chunk * nch * 24 // 8,
             bytes_accessed=B * T * 96 * chunk + B * n_pix * 8,
             transcendentals=0),
-    )(order, counts, P, A)
+    )(order, counts, zlo_q, P, A)
 
 
 def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
@@ -373,18 +391,23 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     m8 = (ov_sub.astype(jnp.int32)
           << jnp.arange(nsub, dtype=jnp.int32)).sum(-1)        # (B, T, nch)
     overlap = m8 > 0
+    # conservative per-chunk depth bound (min vertex NDC z over valid
+    # faces) for front-to-back list order + the in-kernel occlusion skip
+    zlo_q = _zq(jnp.where(ok, min3(z0, z1, z2), _BIG)
+                .reshape(B, nch, chunk).min(-1))           # (B, nch) i32
     # the flat (B*T*kmax,) list pays SMEM lane padding once globally, so
     # the ~1 MB SMEM budget divides exactly; tiles whose true chunk count
     # exceeds kmax fall back to the in-kernel full scan
     kmax = max(1, min(nch, (960 * 1024 // 4) // (B * T)))
-    order_ids = jnp.argsort(~overlap, axis=-1, stable=True) \
+    zkey = jnp.where(overlap, zlo_q[:, None, :], jnp.int32(2**31 - 1))
+    order_ids = jnp.argsort(zkey, axis=-1, stable=True) \
         .astype(jnp.int32)[..., :kmax]                     # (B, T, kmax)
     order = (order_ids | (jnp.take_along_axis(m8, order_ids, axis=-1) << 16)) \
         .reshape(B * T * kmax)
     counts = overlap.sum(-1).astype(jnp.int32)
 
     z, fid, wonk = _pallas_visibility(
-        order, counts, P, A8, B=B, n_pix=n_pix, T=T,
+        order, counts, zlo_q.reshape(B * nch), P, A8, B=B, n_pix=n_pix, T=T,
         chunk=chunk, kmax=kmax, nch=nch, nsub=nsub, interpret=interpret)
     z = _untile(z, B, nty, ntx)
     fid = _untile(fid, B, nty, ntx)
@@ -434,6 +457,11 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     def coeffs_one(vc, fv):
         A, ok, _, _, sx, sy = _face_coeffs(vc, faces, f_valid, height, width,
                                            fv=fv)
+        # vertex NDC z from the affine z row (z is affine, so the triangle's
+        # min is attained at a vertex) — the chunk depth bound for the
+        # kernel's occlusion early-out
+        zv = (A[:, 0:1, 3] * sx + A[:, 1:2, 3] * sy + A[:, 2:3, 3])  # (F, 3)
+        zmin = jnp.where(ok, zv.min(-1), _BIG)
         # invalid faces: edge constant −1 → never covered; empty bbox
         A = jnp.where(ok[:, None, None], A,
                       jnp.asarray([0.0, 0.0, -1.0])[None, :, None])
@@ -441,19 +469,21 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
         lo_y = jnp.where(ok, sy.min(-1), _BIG)
         hi_x = jnp.where(ok, sx.max(-1), -_BIG)
         hi_y = jnp.where(ok, sy.max(-1), -_BIG)
-        return A, jnp.stack([lo_x, lo_y, hi_x, hi_y], -1)
+        return A, jnp.stack([lo_x, lo_y, hi_x, hi_y], -1), zmin
 
     fv_nd = (None if fv_clip is None
              else jax.lax.stop_gradient(fv_clip))
-    A, fbox = (jax.vmap(lambda vc: coeffs_one(vc, None))(v_nd)
-               if fv_nd is None
-               else jax.vmap(coeffs_one)(v_nd, fv_nd))  # (B,F,3,4), (B,F,4)
+    A, fbox, fzmin = (jax.vmap(lambda vc: coeffs_one(vc, None))(v_nd)
+                      if fv_nd is None
+                      else jax.vmap(coeffs_one)(v_nd, fv_nd))
     if Fp != F:
         padA = jnp.zeros((B, Fp - F, 3, 4), A.dtype).at[:, :, 1, 2].set(-1.0)
         A = jnp.concatenate([A, padA], 1)
         padB = jnp.zeros((B, Fp - F, 4), fbox.dtype) \
             .at[..., :2].set(_BIG).at[..., 2:].set(-_BIG)
         fbox = jnp.concatenate([fbox, padB], 1)
+        fzmin = jnp.concatenate(
+            [fzmin, jnp.full((B, Fp - F), _BIG, fzmin.dtype)], 1)
 
     P, nty, ntx = _tile_pixels(height, width)
     T = nty * ntx
@@ -482,6 +512,7 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
 
     A = blk_gather(A, 12).reshape(B, Fp, 3, 4)
     fbox = blk_gather(fbox, 4).reshape(B, Fp, 4)
+    fzmin = blk_gather(fzmin, 1).reshape(B, Fp)
     orig = (perm[..., None] * blk
             + jnp.arange(blk, dtype=jnp.int32)).reshape(B, Fp)
     # channel 4: original face id in the constant-coefficient slot (the
@@ -513,19 +544,22 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     m8 = (ov_sub.astype(jnp.int32)
           << jnp.arange(nsub, dtype=jnp.int32)).sum(-1)        # (B, T, nch)
     overlap = m8 > 0
+    zlo_q = _zq(fzmin.reshape(B, nch, chunk).min(-1))          # (B, nch)
     # the flat (B*T*kmax,) list pays SMEM lane padding once globally, so
     # the ~1 MB SMEM budget divides exactly; tiles whose true chunk count
     # exceeds kmax fall back to the in-kernel full scan
     kmax = max(1, min(nch, (960 * 1024 // 4) // (B * T)))
-    order = jnp.argsort(~overlap, axis=-1, stable=True).astype(jnp.int32)
+    zkey = jnp.where(overlap, zlo_q[:, None, :], jnp.int32(2**31 - 1))
+    order = jnp.argsort(zkey, axis=-1, stable=True).astype(jnp.int32)
     order = order[..., :kmax]
     order = (order | (jnp.take_along_axis(m8, order, axis=-1) << 16)) \
         .reshape(B * T * kmax)
     counts = overlap.sum(-1).astype(jnp.int32)                 # (B, T)
 
-    z, fid, _won = _pallas_visibility(order, counts, P, A, B=B, n_pix=n_pix, T=T,
-                                chunk=chunk, kmax=kmax, nch=nch, nsub=nsub,
-                                interpret=interpret)
+    z, fid, _won = _pallas_visibility(order, counts, zlo_q.reshape(B * nch),
+                                      P, A, B=B, n_pix=n_pix, T=T,
+                                      chunk=chunk, kmax=kmax, nch=nch,
+                                      nsub=nsub, interpret=interpret)
     z = _untile(z, B, nty, ntx)
     fid = _untile(fid, B, nty, ntx)
     z = jnp.where(fid > 0, z, 0.0)
