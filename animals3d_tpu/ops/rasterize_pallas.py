@@ -80,6 +80,13 @@ def _zq(z: jax.Array) -> jax.Array:
         .astype(jnp.int32)
 
 
+def _no_zskip() -> bool:
+    """A3D_NO_ZSKIP=1 reverts to Morton-order lists with the occlusion
+    skip disabled (z-min forced to -inf) — an A/B lever for device timing."""
+    import os
+    return os.environ.get("A3D_NO_ZSKIP") == "1"
+
+
 def _raster_kernel(ids_ref, cnt_ref, zlo_ref, pix_ref, A_hbm, z_ref, id_ref,
                    won_ref, abuf, took, sem, *, chunk: int, kmax: int,
                    nch: int, nsub: int = NSUB):
@@ -399,6 +406,8 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     # the ~1 MB SMEM budget divides exactly; tiles whose true chunk count
     # exceeds kmax fall back to the in-kernel full scan
     kmax = max(1, min(nch, (960 * 1024 // 4) // (B * T)))
+    if _no_zskip():
+        zlo_q = jnp.full_like(zlo_q, -2**31)               # skip never fires
     zkey = jnp.where(overlap, zlo_q[:, None, :], jnp.int32(2**31 - 1))
     order_ids = jnp.argsort(zkey, axis=-1, stable=True) \
         .astype(jnp.int32)[..., :kmax]                     # (B, T, kmax)
@@ -549,6 +558,8 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     # the ~1 MB SMEM budget divides exactly; tiles whose true chunk count
     # exceeds kmax fall back to the in-kernel full scan
     kmax = max(1, min(nch, (960 * 1024 // 4) // (B * T)))
+    if _no_zskip():
+        zlo_q = jnp.full_like(zlo_q, -2**31)               # skip never fires
     zkey = jnp.where(overlap, zlo_q[:, None, :], jnp.int32(2**31 - 1))
     order = jnp.argsort(zkey, axis=-1, stable=True).astype(jnp.int32)
     order = order[..., :kmax]

@@ -52,6 +52,10 @@ def main():
         # training-phase grid (coarse 128); full 256 nets
         overrides = ["dataset.batch_size=10"]
         batch, iters, warmup = 10, 6, 2
+    # A/B lever: BENCH_OVERRIDES="k=v k=v" appends config overrides
+    # (pair with A3D_NO_ZSKIP / A3D_NO_MXU_BWD env toggles for kernel A/Bs)
+    extra = os.environ.get("BENCH_OVERRIDES", "").split()
+    overrides += extra
 
     cfg = cfglib.load_config("train_magicpony_horse", overrides=overrides)
     from animals3d_tpu.precision import set_mixed_precision
