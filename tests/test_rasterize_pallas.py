@@ -238,3 +238,46 @@ def test_resolve_kernel_path_matches_gather_path(monkeypatch):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_pallas_depth_stack_early_out_parity():
+    """Occlusion early-out stress: 8 full-screen quads stacked in z (every
+    tile fully covered by the front quad, all behind chunks skippable) plus
+    an exact-z duplicate of the front quad (tie must resolve to the
+    smallest original face id, skip must not fire on equal z). Parity vs
+    the XLA path on both list orders (chunk=2 -> one quad per chunk)."""
+    import os
+    quads = []
+    faces = []
+    # front quad twice (exact z tie), then 7 more behind
+    depths = [1.0, 1.0] + [1.0 + 0.2 * i for i in range(1, 8)]
+    for qi, z in enumerate(depths):
+        i0 = 4 * qi
+        s = 1.0 if qi != 3 else 0.3          # one partial quad mid-stack
+        quads += [[-s, -s, z], [s, -s, z], [s, s, z], [-s, s, z]]
+        faces += [[i0, i0 + 1, i0 + 2], [i0, i0 + 2, i0 + 3]]
+    v = np.asarray(quads, np.float32)[None]
+    w = np.full((1, v.shape[1], 1), 2.0, np.float32)
+    v_clip = jnp.asarray(np.concatenate([v * w, w], -1))
+    f = jnp.asarray(np.asarray(faces, np.int32))
+    f_valid = jnp.ones((f.shape[0],), bool)
+
+    ref = rz.rasterize(v_clip, f, f_valid, (32, 32), chunk=2)
+    got = rasterize_pallas(v_clip, f, f_valid, (32, 32), chunk=2,
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.face_id),
+                                  np.asarray(ref.face_id))
+    np.testing.assert_allclose(np.asarray(got.z), np.asarray(ref.z),
+                               atol=1e-5)
+    # the winner everywhere must be the FIRST of the two tied front faces
+    assert set(np.unique(np.asarray(got.face_id))) <= {1, 2}
+
+    # fv_rows struct-of-arrays path under the same stack
+    B, V = 1, v.shape[1]
+    v_pos = jnp.asarray(v)
+    tab = jnp.concatenate([v_pos, v_clip], -1).transpose(1, 0, 2) \
+        .reshape(V, B * 7)
+    got_t = rasterize_pallas(v_clip, f, f_valid, (32, 32), chunk=2,
+                             interpret=True, fv_rows=tab[f])
+    np.testing.assert_array_equal(np.asarray(got_t.face_id),
+                                  np.asarray(ref.face_id))
