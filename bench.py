@@ -53,11 +53,14 @@ def main():
         overrides = ["dataset.batch_size=10"]
         batch, iters, warmup = 10, 6, 2
     # A/B lever: BENCH_OVERRIDES="k=v k=v" appends config overrides
-    # (pair with A3D_NO_ZSKIP / A3D_NO_MXU_BWD env toggles for kernel A/Bs)
+    # (pair with A3D_NO_ZSKIP / A3D_NO_MXU_BWD env toggles for kernel A/Bs);
+    # BENCH_CONFIG switches the run config (e.g. train_fauna)
     extra = os.environ.get("BENCH_OVERRIDES", "").split()
     overrides += extra
 
-    cfg = cfglib.load_config("train_magicpony_horse", overrides=overrides)
+    cfg = cfglib.load_config(os.environ.get("BENCH_CONFIG",
+                                            "train_magicpony_horse"),
+                             overrides=overrides)
     from animals3d_tpu.precision import set_mixed_precision
     set_mixed_precision(cfg.get("mixed_precision"))   # bf16 per base.yaml
     model_cfg = dict(cfg["model"])
@@ -76,7 +79,10 @@ def main():
     grid, v_cap, f_cap = model.grid_for_phase(phase)
 
     # ---- inference path: recon + input-view render ----
-    from animals3d_tpu.predictors import BasePredictor, InstancePredictor
+    # the manual netBase→netInstance→render chain below is MagicPony-shaped;
+    # Fauna/Ponymation configs (BENCH_CONFIG) report only the train-step line
+    from animals3d_tpu.models.magicpony import MagicPony
+    do_recon = isinstance(model, MagicPony)
 
     def recon(params, images, rng, grid):
         prior_mesh, _sdf = model.netBase.apply(
@@ -120,23 +126,25 @@ def main():
                             .astype(np.float32)) for _ in range(8)]
     for x in fresh:
         jax.block_until_ready(x)
-    t0 = time.time()
-    _ = float(recon_jit(params, images, rng, grid))
-    compile_s = time.time() - t0
-    for i in range(warmup):
-        _ = float(recon_jit(params, fresh[i % 8],
-                            jax.random.PRNGKey(100 + i), grid))
-    t0 = time.time()
-    for i in range(iters):
-        _ = float(recon_jit(params, fresh[i % 8],
-                            jax.random.PRNGKey(i), grid))
-    dt = time.time() - t0
-    imgs_per_sec = batch * F * iters * K / dt
+    imgs_per_sec = compile_s = 0.0
+    if do_recon:
+        t0 = time.time()
+        _ = float(recon_jit(params, images, rng, grid))
+        compile_s = time.time() - t0
+        for i in range(warmup):
+            _ = float(recon_jit(params, fresh[i % 8],
+                                jax.random.PRNGKey(100 + i), grid))
+        t0 = time.time()
+        for i in range(iters):
+            _ = float(recon_jit(params, fresh[i % 8],
+                                jax.random.PRNGKey(i), grid))
+        dt = time.time() - t0
+        imgs_per_sec = batch * F * iters * K / dt
 
-    print(f"[bench] device={jax.devices()[0].device_kind} "
-          f"compile={compile_s:.1f}s recon {imgs_per_sec:.2f} imgs/s "
-          f"({dt / (iters * K) * 1000:.1f} ms/batch{batch}, K={K}/dispatch)",
-          file=sys.stderr)
+        print(f"[bench] device={jax.devices()[0].device_kind} "
+              f"compile={compile_s:.1f}s recon {imgs_per_sec:.2f} imgs/s "
+              f"({dt / (iters * K) * 1000:.1f} ms/batch{batch}, "
+              f"K={K}/dispatch)", file=sys.stderr)
 
     # ---- training step (fwd+bwd+optimizer): the actual workload -----------
     import optax
@@ -195,16 +203,26 @@ def main():
           f"-> {train_imgs:.2f} imgs/s (compile {tcompile:.1f}s, "
           f"loss {float(loss) / KT:.3f})", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "single_image_recon_256_imgs_per_sec_per_chip"
-        if not tiny else "single_image_recon_tiny_imgs_per_sec",
-        "value": round(imgs_per_sec, 3),
-        "unit": "imgs/s/chip",
-        "vs_baseline": round(imgs_per_sec / REF_A100_IMGS_PER_SEC, 3),
-        "train_step_ms": round(tdt * 1000, 1),
-        "train_imgs_per_sec": round(train_imgs, 3),
-        "train_batch": batch,
-    }))
+    if do_recon:
+        print(json.dumps({
+            "metric": "single_image_recon_256_imgs_per_sec_per_chip"
+            if not tiny else "single_image_recon_tiny_imgs_per_sec",
+            "value": round(imgs_per_sec, 3),
+            "unit": "imgs/s/chip",
+            "vs_baseline": round(imgs_per_sec / REF_A100_IMGS_PER_SEC, 3),
+            "train_step_ms": round(tdt * 1000, 1),
+            "train_imgs_per_sec": round(train_imgs, 3),
+            "train_batch": batch,
+        }))
+    else:
+        print(json.dumps({
+            "metric": f"{os.environ.get('BENCH_CONFIG')}_train_step",
+            "value": round(train_imgs, 3),
+            "unit": "imgs/s/chip",
+            "vs_baseline": 0.0,
+            "train_step_ms": round(tdt * 1000, 1),
+            "train_batch": batch,
+        }))
 
 
 if __name__ == "__main__":
