@@ -148,7 +148,15 @@ def _build_dataset(cfg: DataLoaderConfig, data_dir: str, is_train: bool):
 
 
 def get_data_loaders(cfg: DataLoaderConfig, host_id=0, num_hosts=1):
-    """→ (train, val, test) Loaders (None where no dir configured)."""
+    """→ (train, val, test) Loaders (None where no dir configured).
+
+    `cfg.batch_size` is the GLOBAL batch; each host's Loader yields its
+    `batch_size // num_hosts` slice (stride-sharded indices), and
+    `parallel.mesh.shard_batch` reassembles the global array across
+    processes. Single-host (the common case): identical to before.
+    """
+    assert cfg.batch_size % num_hosts == 0, (
+        f"batch_size {cfg.batch_size} must divide over {num_hosts} hosts")
     loaders = []
     for data_dir, is_train in ((cfg.train_data_dir, True),
                                (cfg.val_data_dir, False),
@@ -158,7 +166,7 @@ def get_data_loaders(cfg: DataLoaderConfig, host_id=0, num_hosts=1):
             continue
         ds = _build_dataset(cfg, data_dir, is_train)
         loaders.append(Loader(
-            ds, cfg.batch_size,
+            ds, cfg.batch_size // num_hosts,
             shuffle=is_train and cfg.random_shuffle_samples_train,
             num_workers=cfg.num_workers, drop_last=is_train,
             host_id=host_id, num_hosts=num_hosts, infinite=is_train))

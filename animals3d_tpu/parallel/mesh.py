@@ -64,34 +64,58 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, allow_uneven: bool = False) -> dict:
-    """Device-put a host batch dict with the leading axis over dp.
+    """Stage a host batch dict with the leading axis sharded over dp.
 
-    Every ≥1-D entry must have a dp-divisible leading axis — a mis-sized
-    *training* batch is a data-pipeline bug and silently replicating it
-    would train on duplicated samples, so it raises. Eval/test loops with
-    `drop_last=False` pass `allow_uneven=True`: their final partial batch is
-    replicated (duplicated compute, correct per-sample results).
+    Single-process: plain `device_put`. Multi-process: each host holds its
+    1/num_hosts slice of the global batch (the Loader's `host_id::num_hosts`
+    stride) and the global array is assembled with
+    `jax.make_array_from_process_local_data` — per-host leading axes concat
+    to the global batch, which must divide the (global) dp mesh size.
+
+    Every ≥1-D entry must have a dp-divisible (global) leading axis — a
+    mis-sized *training* batch is a data-pipeline bug and silently
+    replicating it would train on duplicated samples, so it raises.
+    Eval/test loops with `drop_last=False` pass `allow_uneven=True`: their
+    final partial batch is replicated (duplicated compute, correct
+    per-sample results).
     """
     sharding = batch_sharding(mesh)
     rep = replicated(mesh)
+    nproc = jax.process_count()
 
     def put(k, x):
         if x is None:
             return None
         if getattr(x, "ndim", 0) >= 1:
-            if x.shape[0] % mesh.size != 0:
+            n_global = x.shape[0] * nproc
+            if n_global % mesh.size != 0:
                 if allow_uneven:
-                    return jax.device_put(x, rep)
+                    return _replicate_value(x, rep)
                 raise ValueError(
-                    f"batch['{k}'] leading axis {x.shape[0]} is not divisible "
-                    f"by the dp mesh size {mesh.size}")
+                    f"batch['{k}'] global leading axis {n_global} is not "
+                    f"divisible by the dp mesh size {mesh.size}")
+            if nproc > 1:
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x), (n_global, *x.shape[1:]))
             return jax.device_put(x, sharding)
-        return jax.device_put(x, rep)
+        return _replicate_value(x, rep)
 
     return {k: put(k, v) for k, v in batch.items()}
+
+
+def _replicate_value(x, rep: NamedSharding):
+    """Fully replicate one array over a (possibly multi-process) mesh."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, rep)
+    x = np.asarray(x)
+    # every host passes the same value; callback serves any requested index
+    return jax.make_array_from_callback(x.shape, rep, lambda idx: x[idx])
 
 
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     rep = replicated(mesh)
-    return jax.device_put(tree, rep)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, rep)
+    return jax.tree_util.tree_map(
+        lambda x: _replicate_value(x, rep), tree)

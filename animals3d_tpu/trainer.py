@@ -347,7 +347,7 @@ class Trainer:
         params = meshlib.replicate(params, self.mesh)
         opt_state = meshlib.replicate(opt_state, self.mesh)
 
-        train_loader, val_loader, _ = get_data_loaders(self.cfg_dataset)
+        train_loader, val_loader, _ = get_data_loaders(self.cfg_dataset, host_id=jax.process_index(), num_hosts=jax.process_count())
         assert train_loader is not None, "train_data_dir not configured"
         writer = self._logger()
         if self.cfg.archive_code and jax.process_index() == 0:
@@ -368,7 +368,7 @@ class Trainer:
                 self.cfg_dataset = _dc.replace(
                     self.cfg_dataset,
                     dataset_split_num=cfg.remake_dataloader_num)
-                train_loader, val_loader, _ = get_data_loaders(self.cfg_dataset)
+                train_loader, val_loader, _ = get_data_loaders(self.cfg_dataset, host_id=jax.process_index(), num_hosts=jax.process_count())
                 train_iter = iter(train_loader)
             try:
                 batch = next(train_iter)
@@ -510,7 +510,7 @@ class Trainer:
             cfg.checkpoint_dir, state, checkpoint_name=cfg.checkpoint_name)
         params = state["params"]
 
-        _, _, test_loader = get_data_loaders(self.cfg_dataset)
+        _, _, test_loader = get_data_loaders(self.cfg_dataset, host_id=jax.process_index(), num_hosts=jax.process_count())
         assert test_loader is not None, "test_data_dir not configured"
         result_dir = cfg.test_result_dir or os.path.join(
             cfg.checkpoint_dir, f"test_results_{total_iter:07d}")

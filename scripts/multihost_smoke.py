@@ -93,6 +93,27 @@ def worker(pid: int) -> None:
               f"across {NPROC} processes x {LOCAL_DEVICES} devices "
               f"(dropped {dropped} by drop_last)")
 
+    # ---- trainer staging path: replicate + shard_batch over the global
+    # mesh (multi-process branches of parallel.mesh) --------------------
+    from animals3d_tpu.parallel import mesh as meshlib
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+              "b": np.float32(pid * 0.0 + 1.5)}      # identical on hosts
+    params = meshlib.replicate(params, mesh)
+    hb = {"x": np.full((4, 2), pid, np.float32),     # per-host shard
+          "scalar_like": np.float32(3.0), "none": None}
+    gb = meshlib.shard_batch(hb, mesh)
+    assert gb["x"].shape == (8, 2), gb["x"].shape
+
+    @jax.jit
+    def use(params, b):
+        return jnp.sum(params["w"]) + params["b"] + jnp.sum(b["x"], (0, 1))
+
+    got = float(jax.device_get(use(params, gb)))
+    want = 15.0 + 1.5 + (0 * 8 + 1 * 8)              # host shards 0s and 1s
+    assert abs(got - want) < 1e-5, (got, want)
+    if pid == 0:
+        print("multihost_smoke: trainer staging (replicate+shard_batch) ok")
+
 
 def main() -> None:
     if "--worker" in sys.argv:
