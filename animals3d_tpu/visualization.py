@@ -264,27 +264,68 @@ class Visualizer:
             meshes.append(posed)
         return meshes
 
+    def _keyframe_sequence(self):
+        """Load `arti_params*.txt` keyframes (degrees, (20, 3) each) from
+        `cfg.arti_param_dir` and 5-step-interpolate between consecutive
+        keyframes (`visualize_results.py:429-443`). → (N, K, 3) rad or
+        None when no dir/files are configured."""
+        d = self.cfg.get("arti_param_dir")
+        files = sorted(glob(os.path.join(d, "arti_params*.txt"))) if d else []
+        if not files:
+            return None
+        key = np.stack([np.loadtxt(f) for f in files], 0) / 180.0 * np.pi
+        interp = 5
+        seq = []
+        for i in range(len(key) - 1):
+            seq.append(key[i])
+            for j in range(1, interp):
+                t = j / interp
+                seq.append(key[i] * (1 - t) + key[i + 1] * t)
+        seq.append(key[-1])
+        return np.stack(seq, 0)
+
     def _render_animation(self, prefix, params, out, prior_mesh,
                           class_vector):
         (shape, pose_raw, pose, mvp, w2c, campos, im_features, feat_key,
          deformation, arti_params, light_params, aux) = out
         base = np.asarray(arti_params).reshape(-1, 3)
         K = base.shape[0]
-        # keyframe interpolation: rest → predicted → rest (the reference
-        # loads keyframes from animation_params txt files when present)
-        ts = np.linspace(0, 1, 15)
-        seq = [base * t for t in np.concatenate([ts, ts[::-1]])]
+        keyseq = self._keyframe_sequence()
+        if keyseq is not None and keyseq.shape[1] == K:
+            # reference keyframe animation (`visualize_results.py:409-518`):
+            # canonical camera (identity pose, offset_extra=4) viewed from
+            # -120° about y, full azimuth turn over the sequence, fixed
+            # gray light (0,0,1, amb .2, diff .7)
+            from animals3d_tpu.render.light import fixed_direction_light
+            cpose = jnp.concatenate(
+                [jnp.eye(3).reshape(-1), jnp.zeros((3,))])[None]
+            mvp0, w2c0, campos0 = self.model.netInstance.apply(
+                {"params": params["netInstance"]}, cpose, offset_extra=4.0,
+                method="get_camera_extrinsics_from_pose")
+            seq = list(keyseq)
+            n = len(seq)
+            view0 = -120.0 / 180.0 * np.pi
+            angles = [view0 + 2 * np.pi * i / max(n - 1, 1)
+                      for i in range(n)]
+            light = fixed_direction_light(jnp.asarray([0.0, 0.0, 1.0]),
+                                          0.2, 0.7, 1)
+            cams = [orbit_cameras(mvp0[0], w2c0[0], campos0[0], [a])
+                    for a in angles]
+        else:
+            # fallback: rest → predicted → rest on the input-view camera
+            ts = np.linspace(0, 1, 15)
+            seq = [base * t for t in np.concatenate([ts, ts[::-1]])]
+            light = (None if light_params is None else light_params[:1])
+            cams = [(mvp[:1], w2c[:1], campos[:1])] * len(seq)
         frames = []
-        for angles in seq:
+        for angles_k, (mvp_k, w2c_k, campos_k) in zip(seq, cams):
             mesh_k = self.model.netInstance.apply(
                 {"params": params["netInstance"]}, prior_mesh,
-                jnp.asarray(angles.reshape(1, 1, K, 3)),
+                jnp.asarray(np.asarray(angles_k).reshape(1, 1, K, 3)),
                 method="articulate_with_angles")
-            r = self.render_views(params, mesh_k, prior_mesh, mvp[:1],
-                                  w2c[:1], campos[:1], im_features[:1],
-                                  None if light_params is None
-                                  else light_params[:1], class_vector,
-                                  modes=("shaded",))
+            r = self.render_views(params, mesh_k, prior_mesh, mvp_k,
+                                  w2c_k, campos_k, im_features[:1],
+                                  light, class_vector, modes=("shaded",))
             frames.append(np.asarray(r["shaded"][0, :3]))
         save_video(prefix + "_animation.mp4", frames)
 

@@ -27,11 +27,21 @@ def test_visualizer_modes(tmp_path):
     cfg = cfglib.load_config("train_magicpony_horse", overrides=overrides)
     model_cfg = dict(cfg["model"])
     model_cfg["dataset"] = cfg["dataset"]
-    Trainer(cfg, build_model(model_cfg)).train()
+    model = build_model(model_cfg)
+    Trainer(cfg, model).train()
+
+    # two keyframe files -> 6-frame reference-style animation
+    anim = tmp_path / "anim"
+    anim.mkdir()
+    K = model.netInstance.num_bones
+    for i, scale in enumerate((0.0, 20.0)):
+        np.savetxt(str(anim / f"arti_params_{i:02d}.txt"),
+                   np.full((K, 3), scale))
 
     vis_cfg = dict(cfg)
     vis_cfg["output_dir"] = str(tmp_path / "vis")
-    vis_cfg["render_modes"] = ["input_view", "other_views"]
+    vis_cfg["render_modes"] = ["input_view", "other_views", "animation"]
+    vis_cfg["arti_param_dir"] = str(anim)
     vis_cfg["resolution"] = 64
     vis_cfg["spp"] = 1
     vis_cfg["evaluate_keypoint"] = True
@@ -40,6 +50,7 @@ def test_visualizer_modes(tmp_path):
     files = os.listdir(out_dir)
     assert any(f.endswith("_input_view.png") for f in files)
     assert any("_other_view_" in f for f in files)
+    assert any(f.endswith("_animation.mp4") for f in files)
     assert any(f.endswith("_2d_projection_uv.txt") for f in files)
     assert any(f.endswith("_binary_occlusion.txt") for f in files)
     # uv projections within clip range for most vertices
@@ -72,3 +83,26 @@ def test_articulate_with_angles(tmp_path):
     moved = np.abs(np.asarray(bent.v_pos[0]) -
                    np.asarray(prior_mesh.v_pos[0])).max()
     assert moved > 0.01
+
+
+def test_keyframe_sequence_loading(tmp_path):
+    """Reference keyframe scheme (`visualize_results.py:429-443`): degrees →
+    radians, 5-step interpolation between consecutive keyframes."""
+    d = tmp_path / "anim"
+    d.mkdir()
+    k0 = np.zeros((20, 3))
+    k1 = np.full((20, 3), 90.0)
+    k2 = np.full((20, 3), -45.0)
+    for i, k in enumerate((k0, k1, k2)):
+        np.savetxt(str(d / f"arti_params_{i:02d}.txt"), k)
+    vis = Visualizer.__new__(Visualizer)
+    vis.cfg = {"arti_param_dir": str(d)}
+    seq = vis._keyframe_sequence()
+    assert seq.shape == ((3 - 1) * 5 + 1, 20, 3)
+    np.testing.assert_allclose(seq[0], 0.0)
+    np.testing.assert_allclose(seq[5], np.pi / 2, rtol=1e-6)
+    np.testing.assert_allclose(seq[-1], -np.pi / 4, rtol=1e-6)
+    # linear between keyframes
+    np.testing.assert_allclose(seq[1], np.pi / 2 * 0.2, rtol=1e-6)
+    vis.cfg = {}
+    assert vis._keyframe_sequence() is None
