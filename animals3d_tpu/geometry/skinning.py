@@ -102,6 +102,36 @@ def euler_angles_to_matrix(angles, convention: str = "XYZ"):
     return mats[0] @ mats[1] @ mats[2]
 
 
+def matrix_to_axis_angle(R):
+    """(..., 3, 3) rotation → (..., 3) axis-angle (PyTorch3D semantics —
+    the reference uses it to interpolate viewpoints in canonicalization,
+    `visualize_results.py:523-546`)."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    angle = jnp.arccos(jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0))
+    axis = jnp.stack([R[..., 2, 1] - R[..., 1, 2],
+                      R[..., 0, 2] - R[..., 2, 0],
+                      R[..., 1, 0] - R[..., 0, 1]], -1)
+    sin = jnp.sin(angle)[..., None]
+    # near angle=0 the axis is arbitrary; the scaled vector → 0 smoothly
+    safe = jnp.where(jnp.abs(sin) > 1e-6, sin * 2.0, 1.0)
+    unit = jnp.where(jnp.abs(sin) > 1e-6, axis / safe, axis * 0.5)
+    return unit * jnp.where(jnp.abs(sin[..., 0]) > 1e-6,
+                            angle, 1.0)[..., None]
+
+
+def axis_angle_to_matrix(v):
+    """(..., 3) axis-angle → (..., 3, 3) via Rodrigues."""
+    angle = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    axis = v / jnp.maximum(angle, 1e-12)
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    zero = jnp.zeros_like(x)
+    K = jnp.stack([zero, -z, y, z, zero, -x, -y, x, zero], -1) \
+        .reshape(*x.shape, 3, 3)
+    a = angle[..., None]
+    eye = jnp.broadcast_to(jnp.eye(3), K.shape)
+    return eye + jnp.sin(a) * K + (1.0 - jnp.cos(a)) * (K @ K)
+
+
 class BoneStructure(NamedTuple):
     """Static-shape kinematic structure."""
     ancestors: jax.Array      # (K, D) int32, root-first path ending at self; -1 pad

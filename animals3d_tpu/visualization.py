@@ -331,20 +331,51 @@ class Visualizer:
 
     def _render_canonicalization(self, prefix, params, out, prior_mesh,
                                  class_vector):
+        """Morph predicted pose+articulation to the canonical -120° y view
+        (`visualize_results.py:520-595`): axis-angle viewpoint interpolation,
+        camera distance 10→14 (offset_extra 0→4), translation → 0,
+        articulation → first keyframe (or rest), light direction held fixed
+        in world space by counter-rotating into each frame's camera."""
+        from animals3d_tpu.geometry.skinning import (axis_angle_to_matrix,
+                                                     matrix_to_axis_angle)
         (shape, pose_raw, pose, mvp, w2c, campos, im_features, feat_key,
          deformation, arti_params, light_params, aux) = out
         base = np.asarray(arti_params).reshape(1, 1, -1, 3)
+        K = base.shape[2]
+        keyseq = self._keyframe_sequence()
+        target = (keyseq[0].reshape(1, 1, K, 3)
+                  if keyseq is not None and keyseq.shape[1] == K
+                  else np.zeros_like(base))
+        R0 = np.asarray(pose)[0, :9].reshape(3, 3)
+        T0 = np.asarray(pose)[0, 9:12]
+        ori_axis = np.asarray(matrix_to_axis_angle(jnp.asarray(R0.T)))
+        canon_axis = np.asarray(matrix_to_axis_angle(
+            euler_angles_to_matrix(jnp.asarray([0.0, -120 / 180 * np.pi,
+                                                0.0]), "XYZ")))
+        n = 25
         frames = []
-        for t in np.linspace(1, 0, 15):
+        for fi in range(n):
+            t = fi / (n - 1)
+            axis = ori_axis * (1 - t) + canon_axis * t
+            R = np.asarray(axis_angle_to_matrix(jnp.asarray(axis))).T
+            cur_pose = jnp.asarray(np.concatenate(
+                [R.reshape(-1), T0 * (1 - t)]).astype(np.float32))[None]
+            mvp_k, w2c_k, campos_k = self.model.netInstance.apply(
+                {"params": params["netInstance"]}, cur_pose,
+                offset_extra=4.0 * t,
+                method="get_camera_extrinsics_from_pose")
+            angles = base * (1 - t) + target * t
             mesh_k = self.model.netInstance.apply(
                 {"params": params["netInstance"]}, prior_mesh,
-                jnp.asarray(base * t),
-                method="articulate_with_angles")
-            r = self.render_views(params, mesh_k, prior_mesh, mvp[:1],
-                                  w2c[:1], campos[:1], im_features[:1],
-                                  None if light_params is None
-                                  else light_params[:1], class_vector,
-                                  modes=("shaded",))
+                jnp.asarray(angles), method="articulate_with_angles")
+            light_k = light_params[:1] if light_params is not None else None
+            if light_k is not None:
+                # world-fixed light: dir @ w2c_R @ cur_w2c_Rᵀ
+                d = light_k[..., :3] @ w2c[0, :3, :3] @ w2c_k[0, :3, :3].T
+                light_k = jnp.concatenate([d, light_k[..., 3:]], -1)
+            r = self.render_views(params, mesh_k, prior_mesh, mvp_k,
+                                  w2c_k, campos_k, im_features[:1],
+                                  light_k, class_vector, modes=("shaded",))
             frames.append(np.asarray(r["shaded"][0, :3]))
         save_video(prefix + "_canonicalization.mp4", frames)
 

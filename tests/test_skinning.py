@@ -168,3 +168,30 @@ def test_estimate_bones_resample():
     # subsampled skeleton should land near the full-set skeleton
     bones_full, _ = sk.estimate_bones(verts, valid, 8, 4, 3)
     assert np.abs(np.asarray(bones) - np.asarray(bones_full)).max() < 0.5
+
+
+def test_axis_angle_roundtrip():
+    """Rodrigues conversions used by canonicalization viewpoint interp."""
+    import numpy as np
+    import jax.numpy as jnp
+    from animals3d_tpu.geometry.skinning import (axis_angle_to_matrix,
+                                                 euler_angles_to_matrix,
+                                                 matrix_to_axis_angle)
+    rng = np.random.default_rng(0)
+    v = rng.normal(0, 1.0, (16, 3)).astype(np.float32)
+    R = axis_angle_to_matrix(jnp.asarray(v))
+    # proper rotations: R Rᵀ = I, det 1
+    eye = np.einsum("bij,bkj->bik", np.asarray(R), np.asarray(R))
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-5)
+    v2 = np.asarray(matrix_to_axis_angle(R))
+    R2 = np.asarray(axis_angle_to_matrix(jnp.asarray(v2)))
+    np.testing.assert_allclose(R2, np.asarray(R), atol=1e-5)
+    # zero rotation edge case
+    z = np.asarray(matrix_to_axis_angle(jnp.eye(3)))
+    np.testing.assert_allclose(z, 0.0, atol=1e-7)
+    # euler → matrix → axis-angle → matrix consistency
+    e = euler_angles_to_matrix(jnp.asarray([0.0, -2.0944, 0.0]), "XYZ")
+    np.testing.assert_allclose(
+        np.asarray(axis_angle_to_matrix(matrix_to_axis_angle(e))),
+        np.asarray(e), atol=1e-5)

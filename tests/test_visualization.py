@@ -40,7 +40,8 @@ def test_visualizer_modes(tmp_path):
 
     vis_cfg = dict(cfg)
     vis_cfg["output_dir"] = str(tmp_path / "vis")
-    vis_cfg["render_modes"] = ["input_view", "other_views", "animation"]
+    vis_cfg["render_modes"] = ["input_view", "other_views", "animation",
+                               "canonicalization"]
     vis_cfg["arti_param_dir"] = str(anim)
     vis_cfg["resolution"] = 64
     vis_cfg["spp"] = 1
@@ -51,6 +52,7 @@ def test_visualizer_modes(tmp_path):
     assert any(f.endswith("_input_view.png") for f in files)
     assert any("_other_view_" in f for f in files)
     assert any(f.endswith("_animation.mp4") for f in files)
+    assert any(f.endswith("_canonicalization.mp4") for f in files)
     assert any(f.endswith("_2d_projection_uv.txt") for f in files)
     assert any(f.endswith("_binary_occlusion.txt") for f in files)
     # uv projections within clip range for most vertices
