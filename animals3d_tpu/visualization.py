@@ -352,7 +352,7 @@ class Visualizer:
         canon_axis = np.asarray(matrix_to_axis_angle(
             euler_angles_to_matrix(jnp.asarray([0.0, -120 / 180 * np.pi,
                                                 0.0]), "XYZ")))
-        n = 25
+        n = int(self.cfg.get("canon_frames", 25))
         frames = []
         for fi in range(n):
             t = fi / (n - 1)

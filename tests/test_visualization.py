@@ -43,6 +43,7 @@ def test_visualizer_modes(tmp_path):
     vis_cfg["render_modes"] = ["input_view", "other_views", "animation",
                                "canonicalization"]
     vis_cfg["arti_param_dir"] = str(anim)
+    vis_cfg["canon_frames"] = 5
     vis_cfg["resolution"] = 64
     vis_cfg["spp"] = 1
     vis_cfg["evaluate_keypoint"] = True
