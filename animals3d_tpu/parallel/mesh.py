@@ -90,6 +90,16 @@ def shard_batch(batch: dict, mesh: Mesh, allow_uneven: bool = False) -> dict:
             n_global = x.shape[0] * nproc
             if n_global % mesh.size != 0:
                 if allow_uneven:
+                    if nproc > 1:
+                        # replicating host-LOCAL values multi-process would
+                        # give each process a different "replica" — refuse
+                        # rather than silently diverge (eval loaders should
+                        # pad/drop to host-equal batches in multi-host runs)
+                        raise ValueError(
+                            f"batch['{k}']: uneven eval batches are not "
+                            f"supported multi-process (host-local "
+                            f"{x.shape[0]} x {nproc} hosts vs mesh "
+                            f"{mesh.size})")
                     return _replicate_value(x, rep)
                 raise ValueError(
                     f"batch['{k}'] global leading axis {n_global} is not "
