@@ -241,11 +241,16 @@ class Visualizer:
         for a in angles:
             mvp_k, w2c_k, campos_k = orbit_cameras(mvp[0], w2c[0], campos[0],
                                                    [a])
+            light_k = None if light_params is None else light_params[:1]
+            if light_k is not None:
+                # hold the light fixed in WORLD space while the camera
+                # orbits (`visualize_results.py:335-341`): camera-space dir
+                # → world via w2c_R → back via the orbit camera's w2c_kᵀ
+                d = light_k[..., :3] @ w2c[0, :3, :3] @ w2c_k[0, :3, :3].T
+                light_k = jnp.concatenate([d, light_k[..., 3:]], -1)
             r = self.render_views(params, shape, prior_mesh, mvp_k, w2c_k,
-                                  campos_k, im_features[:1],
-                                  None if light_params is None
-                                  else light_params[:1], class_vector,
-                                  modes=("shaded",))
+                                  campos_k, im_features[:1], light_k,
+                                  class_vector, modes=("shaded",))
             frames.append(np.asarray(r["shaded"][0, :3]))
         return frames
 
