@@ -34,7 +34,12 @@ def main():
     ap.add_argument("--grid", type=int, default=128)
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--batch", type=int, default=10)
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU smoke: interpret-mode Pallas, tiny n")
     args = ap.parse_args()
+    if args.interpret:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
@@ -72,13 +77,43 @@ def main():
          + rng.normal(0, 1e-3, (B, v_cap, 3)).astype(np.float32),
          np.full((B, v_cap, 1), 5.0, np.float32)], -1)) for _ in range(3)]
 
+    itp = args.interpret
     rz = jax.jit(lambda v: rasterize_pallas(
-        v, mesh.t_pos_idx, mesh.f_valid, (H, H), num_faces=mesh.num_faces)
-        .face_id.astype(jnp.float32))
-    bench(f"rasterize_pallas {H}x{H} x{B}", rz, [(v,) for v in vc])
+        v, mesh.t_pos_idx, mesh.f_valid, (H, H), num_faces=mesh.num_faces,
+        interpret=itp).face_id.astype(jnp.float32))
+    bench(f"rasterize_pallas {H}x{H} x{B}", rz, [(v,) for v in vc],
+          n=1 if itp else 5)
+
+    # production path: struct-of-arrays fv_rows + fused resolve (the MXU
+    # one-hot fwd/bwd when bw_aux is threaded) — what render_mesh runs
+    from animals3d_tpu.ops.rasterize import resolve
+    V = vc[0].shape[1]
+
+    def full(v, attr):
+        vp = v[..., :3]
+        tab = jnp.concatenate([vp, v], -1).transpose(1, 0, 2) \
+            .reshape(V, B * 7)
+        fvr = tab[mesh.t_pos_idx]
+        rast = rasterize_pallas(v, mesh.t_pos_idx, mesh.f_valid, (H, H),
+                                num_faces=mesh.num_faces, interpret=itp,
+                                fv_rows=fvr)
+        uv, out = resolve(attr, rast, v, mesh.t_pos_idx)
+        return jnp.sum(out) + jnp.sum(uv)
+
+    attrs = [jnp.asarray(rng.uniform(0, 1, (B, v_cap, 16))
+                         .astype(np.float32)) for _ in range(3)]
+    import os
+    if not itp or os.environ.get("A3D_FORCE_MXU") == "1":
+        fr = jax.jit(full)
+        bench(f"raster+resolve fwd {H}x{H} x{B}", fr,
+              [(vc[i], attrs[i]) for i in range(3)])
+        fb = jax.jit(jax.grad(full, argnums=(0, 1)))
+        bench(f"raster+resolve fwd+bwd {H}x{H} x{B}", fb,
+              [(vc[i], attrs[i]) for i in range(3)])
 
     rast_fn = jax.jit(lambda v: rasterize_pallas(
-        v, mesh.t_pos_idx, mesh.f_valid, (H, H), num_faces=mesh.num_faces))
+        v, mesh.t_pos_idx, mesh.f_valid, (H, H), num_faces=mesh.num_faces,
+        interpret=itp))
     rasts = [rast_fn(v) for v in vc]
     colors = [jnp.asarray(rng.uniform(0, 1, (B, H, H, 4)).astype(np.float32))
               for _ in range(3)]
