@@ -204,10 +204,13 @@ def mesh_parity_leg(model, params, tets_npz, checkpoint_sd, out_dir):
         params = {"netBase": convert.convert_net_base(sd, model)}
 
     # --- reference extraction (no jitter, cpu) ---
+    import time
     with torch.no_grad():
         ref_sdf = geom.get_sdf(geom.verts)
+        t0 = time.time()
         verts_r, faces_r, _uvs, _uvidx = dm.DMTet()(
             geom.verts, ref_sdf, geom.indices)
+        t_ref = time.time() - t0
         ref_dino = netDINO(verts_r)
     verts_r = verts_r.numpy()
     faces_r = faces_r.numpy()
@@ -225,7 +228,13 @@ def mesh_parity_leg(model, params, tets_npz, checkpoint_sd, out_dir):
         return model.netBase.apply({"params": p["netBase"]}, dgrid,
                                    v_cap, f_cap, 0, None)
 
-    mesh, our_sdf = jax.jit(extract)(params)
+    extract_jit = jax.jit(extract)
+    mesh, our_sdf = extract_jit(params)           # compile + run
+    jax.block_until_ready(mesh.v_pos)
+    t0 = time.time()
+    mesh, our_sdf = extract_jit(params)
+    jax.block_until_ready(mesh.v_pos)
+    t_ours = time.time() - t0
     nv = int(mesh.num_verts)
     nf = int(mesh.num_faces)
     verts_o = np.asarray(mesh.v_pos[0])[:nv]
@@ -234,6 +243,11 @@ def mesh_parity_leg(model, params, tets_npz, checkpoint_sd, out_dir):
     report = {
         "ref_num_verts": int(len(verts_r)), "our_num_verts": nv,
         "ref_num_faces": int(len(faces_r)), "our_num_faces": nf,
+        # same-host apples-to-apples: torch-cpu reference marching tets vs
+        # our full jitted netBase (SDF MLP + marching tets) — ours includes
+        # MORE work, so <= means strictly faster per extraction
+        "ref_marching_tets_s": round(t_ref, 4),
+        "our_sdf_plus_marching_tets_s": round(t_ours, 4),
     }
     if nv == len(verts_r):
         report["vert_max_err"] = float(np.abs(verts_o - verts_r).max())
