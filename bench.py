@@ -27,6 +27,26 @@ REF_A100_IMGS_PER_SEC = 10.0  # provisional; see module docstring
 
 def main():
     import jax
+    # the axon tunnel, when down, makes jax.devices() hang FOREVER at the
+    # device claim (observed: multi-hour outage). Probe it in a subprocess
+    # with a timeout so the driver gets a clear failure line, not a hang.
+    # Skipped when the process already forced the CPU platform.
+    plats = str(getattr(jax.config, "jax_platforms", "") or "")
+    if plats.split(",")[0] != "cpu":    # axon default is 'axon,cpu'
+        import subprocess
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices()"],
+                timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", "300")),
+                check=False, capture_output=True)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({
+                "metric": "single_image_recon_256_imgs_per_sec_per_chip",
+                "value": 0.0, "unit": "imgs/s/chip", "vs_baseline": 0.0,
+                "error": "TPU tunnel unreachable (device claim timed out)",
+            }))
+            sys.exit(1)
     import jax.numpy as jnp
     from animals3d_tpu.parallel.mesh import enable_compilation_cache
     enable_compilation_cache()
