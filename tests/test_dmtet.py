@@ -188,3 +188,47 @@ def test_sdf_lattice_banded_matches_dense():
                                     seg_cap=4)
     np.testing.assert_allclose(np.asarray(full), np.asarray(dense),
                                atol=1e-6)
+
+
+def test_sdf_lattice_banded_regularizer_grads_close():
+    """The only banded-vs-dense deviation is the far-edge `sdf_bce` terms
+    (interp vs exact values, saturated sigmoids). Quantify it end-to-end
+    through a REAL MLP: loss values and parameter gradients of
+    `sdf_bce_reg_loss` over the full edge set must agree to small relative
+    error — this is the bound that justifies training with the band on."""
+    import flax.linen as nn
+
+    res = 32
+    grid = tetlib.load_tet_grid(res, data_dir="/tmp/tets_cache_band")
+    pos = jnp.asarray(grid.verts) * 7.0
+    edges = jnp.asarray(grid.edges)
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, p):
+            h = nn.Dense(32)(jnp.sin(p * 1.3))
+            h = nn.relu(h)
+            r = jnp.linalg.norm(p * jnp.asarray([1.0, 1.0, 0.6]), axis=-1)
+            return (1.4 - r) + 0.05 * nn.Dense(1)(h)[..., 0]
+
+    m = Tiny()
+    params = m.init(jax.random.PRNGKey(0), pos[:2])
+
+    def loss_banded(params):
+        sdf, _ = dmtet.sdf_lattice_banded(
+            lambda p: m.apply(params, p), pos, res, band_tau=4.0)
+        return dmtet.sdf_bce_reg_loss(sdf, edges)
+
+    def loss_dense(params):
+        return dmtet.sdf_bce_reg_loss(m.apply(params, pos), edges)
+
+    lb, gb = jax.value_and_grad(loss_banded)(params)
+    ld, gd = jax.value_and_grad(loss_dense)(params)
+    assert np.isfinite(float(lb)) and np.isfinite(float(ld))
+    assert abs(float(lb) - float(ld)) <= 2e-3 * abs(float(ld)), (lb, ld)
+    from jax.flatten_util import ravel_pytree
+    fb, _ = ravel_pytree(gb)
+    fd, _ = ravel_pytree(gd)
+    num = float(jnp.linalg.norm(fb - fd))
+    den = float(jnp.linalg.norm(fd))
+    assert num <= 0.02 * den, (num, den)
