@@ -95,7 +95,10 @@ def main():
     r = np.random.default_rng(0)
     images = jnp.asarray(r.uniform(0, 1, (batch, F, 3, H, H)).astype(np.float32))
 
-    phase = model.phase_for_iter(50000)        # coarse grid, articulation on
+    # BENCH_ITER picks the training phase: 50000 = coarse grid (128) +
+    # articulation (the default measured phase); e.g. 150000 = fine grid 256
+    IT = int(os.environ.get("BENCH_ITER", "50000"))
+    phase = model.phase_for_iter(IT)
     grid, v_cap, f_cap = model.grid_for_phase(phase)
 
     # ---- inference path: recon + input-view render ----
@@ -106,9 +109,9 @@ def main():
 
     def recon(params, images, rng, grid):
         prior_mesh, _sdf = model.netBase.apply(
-            {"params": params["netBase"]}, grid, v_cap, f_cap, 50000, None)
+            {"params": params["netBase"]}, grid, v_cap, f_cap, IT, None)
         out = model.netInstance.apply(
-            {"params": params["netInstance"]}, images, prior_mesh, 50000,
+            {"params": params["netInstance"]}, images, prior_mesh, IT,
             rng, phase._replace(is_training=False))
         (shape, pose_raw, pose, mvp, w2c, campos, im_features, feat_key,
          deformation, arti_params, light_params, aux) = out
@@ -175,7 +178,6 @@ def main():
     optimizer = make_optimizer(model, params)
     opt_state = optimizer.init(params)
     tbatch = _fake_batch(model, batch)
-    IT = 50000
 
     # KT steps per dispatch (fori_loop over donated state, batch varied per
     # step so nothing folds) — same tunnel-overhead amortization as recon
