@@ -63,6 +63,18 @@ def save_results(model, batch, aux, out_dir, start_index=0):
     verts_all = np.asarray(shape.v_pos)
     arti = aux.get("arti_params")
 
+    def flow_viz(fl):
+        # 2-channel flow → rgb with zero blue, shifted by +0.5
+        # (`AnimalModel.save_results`, `AnimalModel.py:650-656`)
+        fl3 = np.concatenate([fl, np.zeros_like(fl[:, :, :1])], 2) + 0.5
+        return np.clip(fl3, 0.0, 1.0)
+
+    flow_gt = batch.get("flows")
+    flow_gt = None if flow_gt is None else flow_viz(np.asarray(flow_gt))
+    flow_pred = aux.get("flow_pred")
+    flow_pred = None if flow_pred is None else \
+        flow_viz(np.asarray(flow_pred))
+
     for b in range(B):
         for f in range(F):
             i = start_index + b
@@ -71,6 +83,10 @@ def save_results(model, batch, aux, out_dir, start_index=0):
             save_image(prefix + "_mask_gt.png", masks[b, f])
             save_image(prefix + "_mask_pred.png", mask_pred[b, f][None])
             save_image(prefix + "_image_pred.png", image_pred[b, f])
+            if flow_gt is not None and f < flow_gt.shape[1]:
+                save_image(prefix + "_flow_gt.png", flow_gt[b, f])
+            if flow_pred is not None and f < flow_pred.shape[1]:
+                save_image(prefix + "_flow_pred.png", flow_pred[b, f])
             # deform/articulation off → batch-1 prior shape shared by all
             n = min(b * F + f, verts_all.shape[0] - 1)
             save_obj(prefix + "_mesh.obj", verts_all[n], faces,

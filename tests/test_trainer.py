@@ -83,3 +83,37 @@ def test_test_path_writes_artifacts(synth_dir, tmp_path):
     assert any(f.endswith("_mesh.obj") for f in files)
     assert any(f.endswith("_image_pred.png") for f in files)
     assert any(f.endswith("_pose.txt") for f in files)
+
+
+def test_save_results_flow_artifacts(tmp_path):
+    """Sequence-config test artifacts include flow_gt/flow_pred pngs
+    (`AnimalModel.save_results`, `AnimalModel.py:650-656`)."""
+    import numpy as np
+    from animals3d_tpu.utils import results_io
+
+    B, F, H = 1, 2, 16
+
+    class Sh:
+        pass
+
+    sh = Sh()
+    sh.v_valid = np.ones(4, bool)
+    sh.f_valid = np.ones(2, bool)
+    sh.t_pos_idx = np.zeros((2, 3), np.int32)
+    sh.v_pos = np.zeros((B * F, 4, 3), np.float32)
+    batch = {"images": np.zeros((B, F, 3, H, H)),
+             "masks": np.zeros((B, F, 1, H, H)),
+             "flows": np.full((B, F - 1, 2, H, H), 0.25)}
+    aux = {"mask_pred": np.zeros((B, F, H, H)),
+           "image_pred": np.zeros((B, F, 3, H, H)),
+           "pose": np.zeros((B * F, 12)), "shape": sh,
+           "flow_pred": np.full((B, F - 1, 2, H, H), -0.25)}
+    results_io.save_results(None, batch, aux, str(tmp_path))
+    fs = os.listdir(str(tmp_path))
+    assert any(f.endswith("_flow_gt.png") for f in fs)
+    assert any(f.endswith("_flow_pred.png") for f in fs)
+    from PIL import Image
+    img = np.asarray(Image.open(
+        str(tmp_path / "0000000_00_flow_gt.png"))) / 255.0
+    np.testing.assert_allclose(img[..., 0], 0.75, atol=0.01)  # 0.25 + 0.5
+    np.testing.assert_allclose(img[..., 2], 0.5, atol=0.01)   # zero + 0.5
