@@ -95,6 +95,7 @@ def load_checkpoint(checkpoint_dir: str, init_state: dict,
         print(f"checkpoint: {len(missing)} missing keys (kept init): "
               f"{missing[:5]}{'...' if len(missing) > 5 else ''}")
     if unexpected:
-        print(f"checkpoint: {len(unexpected)} unexpected keys ignored")
+        print(f"checkpoint: {len(unexpected)} unexpected keys ignored: "
+              f"{unexpected[:5]}{'...' if len(unexpected) > 5 else ''}")
     total_iter = _ckpt_iter(os.path.basename(path))
     return merged, max(total_iter, 0)
