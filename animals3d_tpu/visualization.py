@@ -197,15 +197,26 @@ class Visualizer:
 
             if self.evaluate_keypoint:
                 self.dump_keypoint_artifacts(prefix, shape, mvp)
+                # pose dump alongside the projections
+                # (`visualize_results.py:215-217`)
+                results_io.save_txt(prefix + "_pose.txt",
+                                    np.asarray(pose)[:1])
 
             if "input_view" in self.render_modes:
                 r = self.render_views(params, shape, prior_mesh, mvp, w2c,
                                       campos, im_features, light_params,
-                                      class_vector)
+                                      class_vector,
+                                      modes=("shaded", "geo_normal",
+                                             "shading"))
+                results_io.save_image(prefix + "_input_image.png", image)
                 results_io.save_image(prefix + "_input_view.png",
                                       np.asarray(r["shaded"][0, :3]))
                 results_io.save_image(prefix + "_input_view_geo_normal.png",
                                       np.asarray(r["geo_normal"][0]))
+                sh = np.asarray(r["shading"][0])
+                results_io.save_image(
+                    prefix + "_input_view_shading.png",
+                    np.broadcast_to(sh[:1], (3, *sh.shape[1:])))
 
             if "other_views" in self.render_modes:
                 angles = np.linspace(0, 2 * np.pi, 12, endpoint=False)
