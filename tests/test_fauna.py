@@ -186,3 +186,42 @@ def test_fauna_trainer_loop_with_disc(tmp_path):
     trainer.train()
     names = os.listdir(ckpt_dir)
     assert any(n.startswith("checkpoint") for n in names)
+
+
+def test_fauna_visualizer_input_view(tmp_path):
+    """Fauna visualization end-to-end: memory-bank class conditioning at
+    test time (`visualize_results_fauna.py:218-223`) through the shared
+    Visualizer — input_view render + keypoint artifacts from a trained
+    tiny checkpoint."""
+    import os
+    from animals3d_tpu.data.synth import write_synth_dataset
+    from animals3d_tpu.trainer import Trainer
+    from animals3d_tpu.visualization import Visualizer
+
+    root = tmp_path / "fauna_ds"
+    write_synth_dataset(str(root / "large_scale" / "bear"), n=2, size=64,
+                        dino_dim=4)
+    ckpt_dir = str(tmp_path / "ckpt")
+    overrides = TINY_FAUNA + [
+        f"dataset.train_data_dir={root}",
+        f"checkpoint_dir={ckpt_dir}",
+        "num_iters=1", "save_checkpoint_freq=1",
+        "use_logger=false", "dataset.num_workers=1",
+    ]
+    cfg = cfglib.load_config("train_fauna", overrides=overrides)
+    model_cfg = dict(cfg["model"])
+    model_cfg["dataset"] = cfg["dataset"]
+    Trainer(cfg, build_model(model_cfg)).train()
+
+    vis_cfg = dict(cfg)
+    vis_cfg["dataset"] = dict(cfg["dataset"])
+    vis_cfg["dataset"]["test_data_dir"] = str(root / "large_scale" / "bear")
+    vis_cfg["output_dir"] = str(tmp_path / "vis")
+    vis_cfg["render_modes"] = ["input_view"]
+    vis_cfg["resolution"] = 64
+    vis_cfg["spp"] = 1
+    vis_cfg["evaluate_keypoint"] = True
+    out_dir = Visualizer(vis_cfg).run()
+    files = os.listdir(out_dir)
+    assert any(f.endswith("_input_view.png") for f in files)
+    assert any(f.endswith("_2d_projection_uv.txt") for f in files)
