@@ -72,6 +72,11 @@ class Loader:
         self.num_hosts = num_hosts
         self.infinite = infinite
         self._epoch = 0
+        if len(dataset) == 0:
+            raise ValueError(
+                f"empty dataset {type(dataset).__name__} — check data_dir "
+                f"globs and sequence filters (skip_beginning/end, "
+                f"min_seq_len)")
 
     def __len__(self):
         n = len(self.dataset) // self.num_hosts
@@ -96,19 +101,26 @@ class Loader:
         stop = object()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                batch_idx = []
-                for idx in self._index_stream():
-                    batch_idx.append(idx)
-                    if len(batch_idx) == self.batch_size:
+            # any exception must reach the consumer — a silently-dead
+            # producer leaves the training loop blocked on q.get() forever
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    batch_idx = []
+                    for idx in self._index_stream():
+                        batch_idx.append(idx)
+                        if len(batch_idx) == self.batch_size:
+                            samples = list(pool.map(self.dataset.__getitem__,
+                                                    batch_idx))
+                            q.put(collate(samples))
+                            batch_idx = []
+                    if batch_idx and not self.drop_last:
                         samples = list(pool.map(self.dataset.__getitem__,
                                                 batch_idx))
                         q.put(collate(samples))
-                        batch_idx = []
-                if batch_idx and not self.drop_last:
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(collate(samples))
-            q.put(stop)
+            except BaseException as e:                # noqa: BLE001
+                q.put(e)
+            finally:
+                q.put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -116,6 +128,8 @@ class Loader:
             item = q.get()
             if item is stop:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 
@@ -165,6 +179,13 @@ def get_data_loaders(cfg: DataLoaderConfig, host_id=0, num_hosts=1):
             loaders.append(None)
             continue
         ds = _build_dataset(cfg, data_dir, is_train)
+        if len(ds) == 0 and not is_train:
+            # reference run configs ship val_data_dir paths that may not
+            # exist locally; an empty val/test set is skippable, an empty
+            # TRAIN set is an error (raised by Loader below)
+            print(f"warning: empty dataset at {data_dir} — loader skipped")
+            loaders.append(None)
+            continue
         loaders.append(Loader(
             ds, cfg.batch_size // num_hosts,
             shuffle=is_train and cfg.random_shuffle_samples_train,

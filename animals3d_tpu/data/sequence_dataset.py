@@ -49,6 +49,7 @@ class NFrameSequenceDataset:
         self.in_image_size = in_image_size
         self.out_image_size = out_image_size
         self.load_flow = load_flow and num_frames > 1
+        self.load_background = load_background
         self.load_dino_feature = load_dino_feature
         self.dino_feature_dim = dino_feature_dim
         self.random_xflip = random_xflip

@@ -45,8 +45,13 @@ def _write_background(dir_path: str, rng):
 
 
 def _write_flow(stem: str, size: int, rng):
-    flow = (rng.uniform(0.45, 0.55, (size, size, 3)) * 65535).astype(np.uint16)
-    Image.fromarray(flow[:, :, 0]).save(stem + "flow.png")  # placeholder 1ch
+    """16-bit RGB flow png, u/v in channels 0-1, near-zero motion — the
+    format `util.flow_loader` decodes (`SequenceDataset.py:94-100`)."""
+    import cv2
+    flow = (rng.uniform(0.48, 0.52, (size, size, 3)) * 65535).astype(np.uint16)
+    # cv2 writes BGR; flow_loader reads RGB channels 0-1 — symmetric noise
+    # here so the order is irrelevant
+    cv2.imwrite(stem + "flow.png", flow)
 
 
 def write_synth_dataset(out_dir: str, n: int = 8, size: int = 256,
@@ -59,7 +64,9 @@ def write_synth_dataset(out_dir: str, n: int = 8, size: int = 256,
             d = os.path.join(out_dir, f"seq{s:03d}")
             os.makedirs(d, exist_ok=True)
             for f in range(frames):
-                _write_sample(os.path.join(d, f"{f:06d}_"), size, dino_dim, rng)
+                stem = os.path.join(d, f"{f:06d}_")
+                _write_sample(stem, size, dino_dim, rng)
+                _write_flow(stem, size, rng)
             _write_background(d, rng)
     else:
         for i in range(n):

@@ -72,6 +72,11 @@ class LossConfig:
     mask_dt_loss_weight: float = 0.0
     mask_inv_dt_loss_weight: float = 100.0
     rgb_loss_weight: float = 1.0
+    # the reference computes flow_loss (`AnimalModel.py:284-296`) but ships
+    # NO flow_loss_weight field anywhere — its getattr lookup (`:451`) would
+    # crash for any render_flow=true run. Default 0 keeps totals identical
+    # while making the capability actually usable.
+    flow_loss_weight: float = 0.0
     dino_feat_im_loss_weight: float = 10.0
     sdf_reg_decay_start_iter: int = 10000
     sdf_bce_reg_loss_weight: float = 0.0

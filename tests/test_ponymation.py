@@ -120,3 +120,43 @@ def test_stage2_generation_path():
     assert aux["shape"].v_pos.shape[0] == F
     assert aux["arti_params"].shape[:2] == (1, F)
     assert aux["mask_pred"].shape[1] == F
+
+
+def test_stage1_trainer_test_path_writes_flow_artifacts(tmp_path):
+    """Ponymation stage-1 train→test through the Trainer on synthetic
+    sequences: the test artifacts include per-frame flow_gt/flow_pred pngs
+    (reference `save_results`, `AnimalModel.py:650-656`)."""
+    import os
+    from animals3d_tpu.data.synth import write_synth_dataset
+    from animals3d_tpu.trainer import Trainer
+
+    root = tmp_path / "seq_ds"
+    write_synth_dataset(str(root), size=64, dino_dim=4, sequences=2,
+                        frames=4)
+    ckpt_dir = str(tmp_path / "ckpt")
+    overrides = TINY_PONY + [
+        f"dataset.train_data_dir={root}",
+        f"dataset.test_data_dir={root}",
+        f"checkpoint_dir={ckpt_dir}",
+        "num_iters=1", "save_checkpoint_freq=1",
+        "use_logger=false", "dataset.num_workers=1", "run_test=true",
+        "checkpoint_path=null",      # no pretrained MagicPony warm start
+        "dataset.val_data_dir=null",
+        "dataset.load_flow=true",    # exercise the flow batch + artifacts
+        # reference default is false (`config/model/ponymation.yaml:23`);
+        # enable to exercise flow rendering + flow_pred artifacts
+        "model.cfg_render.render_flow=true",
+    ]
+    cfg = cfglib.load_config("train_ponymation_horse_stage1",
+                             overrides=overrides)
+    model_cfg = dict(cfg["model"])
+    model_cfg["dataset"] = cfg["dataset"]
+    model = build_model(model_cfg)
+    trainer = Trainer(cfg, model)
+    trainer.train()
+    trainer.test()
+    out = os.path.join(ckpt_dir, "test_results_0000001")
+    files = os.listdir(out)
+    assert any(f.endswith("_image_pred.png") for f in files)
+    assert any(f.endswith("_flow_gt.png") for f in files), files[:8]
+    assert any(f.endswith("_flow_pred.png") for f in files), files[:8]
