@@ -101,10 +101,19 @@ def dino_loader(fpath, n_channels: int) -> np.ndarray:
 
 
 def flow_loader(fpath) -> np.ndarray:
-    """16-bit flow png → (2, H, W) in [-1, 1] (`SequenceDataset.py:94-100`)."""
-    arr = np.asarray(Image.open(fpath)).astype(np.float32)
+    """16-bit flow png → (2, H, W) in [-1, 1].
+
+    Matches the reference exactly (`SequenceDataset.py:75,94-100`):
+    `cv2.imread(..., IMREAD_UNCHANGED)` (BGR, 16-bit preserved) →
+    channel flip to RGB → first two channels → /65535*2-1. PIL cannot be
+    used here: it silently downconverts 16-bit RGB pngs to 8-bit."""
+    import cv2
+    arr = cv2.imread(fpath, cv2.IMREAD_UNCHANGED)
+    if arr is None:
+        raise FileNotFoundError(fpath)
+    arr = arr.astype(np.float32)[..., ::-1]       # BGR -> RGB (flip(2))
     flow = arr[..., :2] / 65535.0 * 2 - 1
-    return flow.transpose(2, 0, 1)
+    return np.ascontiguousarray(flow.transpose(2, 0, 1))
 
 
 def get_valid_mask(box: np.ndarray, image_size: int) -> np.ndarray:

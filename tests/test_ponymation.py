@@ -160,3 +160,23 @@ def test_stage1_trainer_test_path_writes_flow_artifacts(tmp_path):
     assert any(f.endswith("_image_pred.png") for f in files)
     assert any(f.endswith("_flow_gt.png") for f in files), files[:8]
     assert any(f.endswith("_flow_pred.png") for f in files), files[:8]
+
+
+def test_sequence_dataset_background_and_flow_loading(tmp_path):
+    """Sequence dataset loads per-sequence backgrounds and 16-bit flows
+    (`SequenceDataset.py:94-100,136-140`)."""
+    from animals3d_tpu.data.sequence_dataset import NFrameSequenceDataset
+    from animals3d_tpu.data.synth import write_synth_dataset
+
+    root = str(tmp_path / "seq")
+    write_synth_dataset(root, size=32, dino_dim=4, sequences=1, frames=4)
+    ds = NFrameSequenceDataset(
+        root, num_frames=3, skip_beginning=0, skip_end=0, min_seq_len=2,
+        in_image_size=32, out_image_size=32, load_flow=True,
+        load_background=True, load_dino_feature=True, dino_feature_dim=4)
+    s = ds[0]
+    assert s["images"].shape == (3, 3, 32, 32)
+    assert s["flows"].shape == (2, 2, 32, 32)
+    assert s["bg_images"].shape == (3, 3, 32, 32)
+    # flow decode: near-zero motion encoded around 0.5 * 65535
+    assert abs(float(s["flows"].mean())) < 0.1
