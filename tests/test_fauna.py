@@ -225,3 +225,32 @@ def test_fauna_visualizer_input_view(tmp_path):
     files = os.listdir(out_dir)
     assert any(f.endswith("_input_view.png") for f in files)
     assert any(f.endswith("_2d_projection_uv.txt") for f in files)
+
+
+def test_fauna_remake_dataloader_mid_training(tmp_path):
+    """Fauna curriculum re-split (`Trainer.py:237-242`): at
+    remake_dataloader_iter the loaders are rebuilt with
+    dataset_split_num pseudo-categories and training continues."""
+    import os
+    from animals3d_tpu.data.synth import write_synth_dataset
+    from animals3d_tpu.trainer import Trainer
+
+    root = tmp_path / "fauna_ds"
+    for cat in ("bear", "cow"):
+        write_synth_dataset(str(root / "large_scale" / cat), n=4, size=64,
+                            dino_dim=4)
+    ckpt_dir = str(tmp_path / "ckpt")
+    overrides = TINY_FAUNA + [
+        f"dataset.train_data_dir={root}",
+        f"checkpoint_dir={ckpt_dir}",
+        "num_iters=3", "save_checkpoint_freq=3", "log_loss_freq=1",
+        "use_logger=false", "dataset.num_workers=1",
+        "remake_dataloader_iter=2", "remake_dataloader_num=2",
+    ]
+    cfg = cfglib.load_config("train_fauna", overrides=overrides)
+    model_cfg = dict(cfg["model"])
+    model_cfg["dataset"] = cfg["dataset"]
+    trainer = Trainer(cfg, build_model(model_cfg))
+    trainer.train()
+    assert trainer.cfg_dataset.dataset_split_num == 2
+    assert any(n.startswith("checkpoint") for n in os.listdir(ckpt_dir))
