@@ -309,20 +309,33 @@ def convert_net_instance(sd, model):
 
 
 def load_torch_state_dict(path):
+    import numpy as np
     import torch
     cp = torch.load(path, map_location="cpu", weights_only=False)
-    return {k: ({kk: vv.detach().numpy() for kk, vv in v.items()}
+
+    def arr(v):
+        return v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    return {k: ({kk: arr(vv) for kk, vv in v.items()}
                 if hasattr(v, "items") and k.startswith(("net", "optimizer"))
                 else v)
             for k, v in cp.items()}
 
 
 def convert_checkpoint(path_or_cp, model) -> dict:
-    """Reference checkpoint file (or loaded dict) → flax params tree."""
+    """Reference checkpoint file (or loaded dict) → flax params tree.
+
+    Tolerant to missing nets (the reference loads with strict=False,
+    `AnimalModel.py:127-132` — finetune/stage warm starts ship partial
+    checkpoints); absent nets keep their init values at merge time."""
     cp = load_torch_state_dict(path_or_cp) if isinstance(path_or_cp, str) \
         else path_or_cp
-    params = {"netBase": convert_net_base(cp["netBase"], model),
-              "netInstance": convert_net_instance(cp["netInstance"], model)}
+    params = {}
+    if "netBase" in cp:
+        params["netBase"] = convert_net_base(cp["netBase"], model)
+    if "netInstance" in cp:
+        params["netInstance"] = convert_net_instance(cp["netInstance"],
+                                                     model)
     if "netDisc" in cp:
         params["netDisc"] = convert_discriminator(cp["netDisc"])
     return params

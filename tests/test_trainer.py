@@ -117,3 +117,69 @@ def test_save_results_flow_artifacts(tmp_path):
         str(tmp_path / "0000000_00_flow_gt.png"))) / 255.0
     np.testing.assert_allclose(img[..., 0], 0.75, atol=0.01)  # 0.25 + 0.5
     np.testing.assert_allclose(img[..., 2], 0.5, atol=0.01)   # zero + 0.5
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference tree not mounted")
+def test_warm_start_from_reference_pth(tmp_path):
+    """`checkpoint_path: *.pth` warm start (finetune/stage configs,
+    `AnimalModel.py:127-132` strict=False): a REAL torch .pth with only
+    netBase (built from the reference's own modules) converts, merges
+    tolerantly, and training starts from those weights."""
+    import sys
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from animals3d_tpu.data.synth import write_synth_dataset
+    from animals3d_tpu.models import build_model
+    from animals3d_tpu.trainer import Trainer
+    from animals3d_tpu import convert
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from compare_to_reference import (ensure_tets_npz, import_reference_dmtet,
+                                      reference_netbase_sd)
+
+    cfg = cfglib.load_config("train_magicpony_horse", overrides=TINY_OVERRIDES)
+    cfg["model"]["dataset"] = cfg["dataset"]
+    model = build_model(cfg["model"])
+    base_cfg = model.cfg_predictor_base
+    npz, _nv = ensure_tets_npz(None, base_cfg.cfg_shape.grid_res,
+                               str(tmp_path))
+    dm = import_reference_dmtet(npz)
+    _geom, _dino, sd = reference_netbase_sd(
+        dm, base_cfg.cfg_shape, base_cfg.cfg_dino, None, rng_seed=3)
+    pth = str(tmp_path / "pretrained.pth")
+    torch.save({"netBase": sd}, pth)
+
+    synth = tmp_path / "data"
+    write_synth_dataset(str(synth), n=2, size=64, dino_dim=4)
+    overrides = TINY_OVERRIDES + [
+        f"dataset.train_data_dir={synth}",
+        f"checkpoint_dir={tmp_path / 'ckpt'}",
+        f"+checkpoint_path={pth}",
+        "num_iters=1", "save_checkpoint_freq=1", "use_logger=false",
+        "dataset.num_workers=1",
+    ]
+    cfg2 = cfglib.load_config("train_magicpony_horse", overrides=overrides)
+    model_cfg = dict(cfg2["model"])
+    model_cfg["dataset"] = cfg2["dataset"]
+    model2 = build_model(model_cfg)
+    trainer = Trainer(cfg2, model2)
+
+    # the warm-started params must carry the converted reference weights
+    params = model2.init_params(jax.random.PRNGKey(0))
+    warm = trainer._warm_start(params, pth)
+    want = convert.convert_net_base(
+        {k: v.detach().numpy() for k, v in sd.items()}
+        if hasattr(next(iter(sd.values())), "detach") else sd, model2)
+    got_leaf = jax.tree_util.tree_leaves(warm["netBase"])[0]
+    want_leaf = jax.tree_util.tree_leaves(want)[0]
+    np.testing.assert_allclose(np.asarray(got_leaf), np.asarray(want_leaf),
+                               atol=1e-6)
+    # netInstance absent from the .pth -> kept at init
+    init_leaf = jax.tree_util.tree_leaves(params["netInstance"])[0]
+    warm_inst = jax.tree_util.tree_leaves(warm["netInstance"])[0]
+    np.testing.assert_array_equal(np.asarray(init_leaf),
+                                  np.asarray(warm_inst))
+    trainer.train()    # one iteration from the warm start runs green
