@@ -86,6 +86,11 @@ class Loader:
     def _index_stream(self):
         n = len(self.dataset)
         while True:
+            # per-epoch dataset-side reshuffle (Fauna `_shuffle_all`,
+            # reference `Trainer.py:224-225`); epoch-seeded → identical on
+            # every host, so the stride sharding stays consistent
+            if hasattr(self.dataset, "set_epoch"):
+                self.dataset.set_epoch(self._epoch)
             order = np.arange(n)
             if self.shuffle:
                 rng = np.random.default_rng(self.seed + self._epoch)

@@ -254,3 +254,32 @@ def test_fauna_remake_dataloader_mid_training(tmp_path):
     trainer.train()
     assert trainer.cfg_dataset.dataset_split_num == 2
     assert any(n.startswith("checkpoint") for n in os.listdir(ckpt_dir))
+
+
+def test_fauna_epoch_reshuffle_through_loader(tmp_path):
+    """The Loader triggers FaunaDataset.set_epoch at each epoch boundary
+    (reference `_shuffle_all`, `Trainer.py:224-225`): sample order changes
+    across epochs while every batch stays single-category."""
+    from animals3d_tpu.data.fauna_dataset import FaunaDataset
+    from animals3d_tpu.data.loaders import Loader
+    from animals3d_tpu.data.synth import write_synth_dataset
+
+    root = tmp_path / "ds"
+    for cat in ("bear", "cow"):
+        write_synth_dataset(str(root / "large_scale" / cat), n=6, size=32,
+                            dino_dim=4)
+    ds = FaunaDataset(str(root), batch_size=2, in_image_size=32,
+                      out_image_size=32, shuffle=True)
+    loader = Loader(ds, 2, shuffle=False, num_workers=1, drop_last=True,
+                    seed=0, infinite=False)
+
+    def run_epoch():
+        for b in loader:
+            ids = np.asarray(b["bboxs"])[:, 0, -1]       # category column
+            assert (ids == ids[0]).all()                 # single-category
+        return {k: list(v) for k, v in ds._padded.items()}
+
+    order0 = run_epoch()
+    order1 = run_epoch()      # second epoch: set_epoch(1) reshuffles
+    assert ds._epoch == 1
+    assert order0 != order1   # within-category order changed
