@@ -164,7 +164,9 @@ def log_visuals(model, writer, batch, aux, extra, total_iter,
     # extra renders with bone overlay + random-pose marker (`:587-624`)
     if extra is not None:
         h, w = images.shape[-2:]
-        geo = np.asarray(extra["geo_normal"]).reshape(B, F, -1, h, w)[:, :, :3]
+        # np.array (copy): device_get buffers are read-only and the bone
+        # overlay below draws into `geo` in place
+        geo = np.array(extra["geo_normal"]).reshape(B, F, -1, h, w)[:, :, :3]
         posed_bones = get("posed_bones")
         mvp = get("mvp")
         if posed_bones is not None and mvp is not None:

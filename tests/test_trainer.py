@@ -183,3 +183,42 @@ def test_warm_start_from_reference_pth(tmp_path):
     np.testing.assert_array_equal(np.asarray(init_leaf),
                                   np.asarray(warm_inst))
     trainer.train()    # one iteration from the warm start runs green
+
+
+def test_logging_path_writes_tensorboard_events(tmp_path, capsys):
+    """use_logger=true end-to-end: scalar logging + the full `log_visuals`
+    path (grids, histograms, bone overlays, turntable videos —
+    `utils/visual_log.py`, reference `AnimalModel.log_visuals:517-636`)
+    run through two training iterations and write tensorboard event files."""
+    from animals3d_tpu.data.synth import write_synth_dataset
+    from animals3d_tpu.models import build_model
+    from animals3d_tpu.trainer import Trainer
+
+    synth = tmp_path / "data"
+    write_synth_dataset(str(synth), n=4, size=64, dino_dim=4)
+    ckpt_dir = str(tmp_path / "ckpt")
+    overrides = TINY_OVERRIDES + [
+        f"dataset.train_data_dir={synth}",
+        f"dataset.val_data_dir={synth}",
+        f"checkpoint_dir={ckpt_dir}",
+        "num_iters=2", "save_checkpoint_freq=2",
+        "use_logger=true", "log_loss_freq=1", "log_image_freq=2",
+        "log_train=true", "log_val=true",
+        "dataset.num_workers=1",
+        # articulation on so bone overlays + posed histograms render
+        "model.cfg_predictor_instance.cfg_articulation.articulation_iter_range=[0, inf]",
+    ]
+    cfg = cfglib.load_config("train_magicpony_horse", overrides=overrides)
+    model_cfg = dict(cfg["model"])
+    model_cfg["dataset"] = cfg["dataset"]
+    trainer = Trainer(cfg, build_model(model_cfg))
+    trainer.train()
+    logdir = os.path.join(ckpt_dir, "logs")
+    events = [f for f in os.listdir(logdir) if "tfevents" in f]
+    assert events, os.listdir(logdir)
+    assert os.path.getsize(os.path.join(logdir, events[0])) > 1000
+    # the trainer swallows visual-logging exceptions to protect training;
+    # the test must NOT — any silent skip is a failure here
+    out = capsys.readouterr().out
+    assert "log_visuals failed" not in out, out
+    assert "turntable logging skipped" not in out, out
