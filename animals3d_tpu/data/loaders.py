@@ -79,7 +79,8 @@ class Loader:
                 f"min_seq_len)")
 
     def __len__(self):
-        n = len(self.dataset) // self.num_hosts
+        # per-host count after the DistributedSampler-style pad below
+        n = -(-len(self.dataset) // self.num_hosts)
         return n // self.batch_size if self.drop_last else \
             -(-n // self.batch_size)
 
@@ -95,6 +96,13 @@ class Loader:
             if self.shuffle:
                 rng = np.random.default_rng(self.seed + self._epoch)
                 rng.shuffle(order)
+            if self.num_hosts > 1 and n % self.num_hosts:
+                # DistributedSampler-style pad to a multiple of num_hosts
+                # so every host sees the SAME number of samples per epoch
+                # and epoch counters stay in lockstep (unequal strides
+                # would desync per-host permutation seeds after epoch 0)
+                pad = self.num_hosts - n % self.num_hosts
+                order = np.concatenate([order, order[:pad]])
             order = order[self.host_id::self.num_hosts]
             yield from order.tolist()
             self._epoch += 1

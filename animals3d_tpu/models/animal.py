@@ -136,6 +136,18 @@ class AnimalModel:
         self.cfg_optim_instance = cfglib.bind(OptimizerConfig, cfg.get("cfg_optim_instance"))
         self.cfg_predictor_base = cfglib.bind(BasePredictorConfig,
                                               cfg.get("cfg_predictor_base"))
+        # The banded lattice SDF sweep is exact only for near-eikonal
+        # fields, a property held by the BCE/eikonal regularizers. When a
+        # config disables BOTH (e.g. train_ponymation_*_stage2), fall back
+        # to the dense sweep — perf opt-in must never risk correctness.
+        shape_cfg = self.cfg_predictor_base.cfg_shape
+        if shape_cfg.sparse_band_eval and \
+                self.cfg_loss.sdf_bce_reg_loss_weight == 0 and \
+                self.cfg_loss.sdf_gradient_reg_loss_weight == 0:
+            self.cfg_predictor_base = dataclasses.replace(
+                self.cfg_predictor_base,
+                cfg_shape=dataclasses.replace(shape_cfg,
+                                              sparse_band_eval=False))
         self.cfg_predictor_instance = cfglib.bind(InstancePredictorConfig,
                                                   cfg.get("cfg_predictor_instance"))
         ds = cfg.get("dataset") or {}

@@ -834,7 +834,13 @@ def resolve_rows_pallas(pf: jax.Array, sel: jax.Array, ids_sorted: jax.Array,
 
     pf: (B, F, Rp) per-face rows (Rp multiple of 8); sel: (B, H·W) 0-based
     original winner face ids (raster order, 0 on background); ids_sorted /
-    won: the rasterizer's `bw_aux`. Background / unvisited rows are ZERO.
+    won: the rasterizer's `bw_aux`.
+
+    Contract caveat: background pixels carry sel=0, which ALIASES original
+    face id 0 — when face 0's chunk is a winner chunk for a tile, those
+    rows come back as pf[0], not zero (rows of tiles no winner chunk
+    touches ARE zero). Callers MUST mask by their own fid>0 / coverage
+    channel before trusting any row.
     """
     B, F, Rp = pf.shape
     height, width = resolution

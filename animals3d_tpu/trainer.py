@@ -108,6 +108,31 @@ def make_optimizer(model, params):
     return optax.multi_transform(transforms, label_fn)
 
 
+def _host_local_value(a):
+    """This host's view of a possibly multi-process-sharded jax.Array.
+
+    Batch-sharded global arrays yield this host's contiguous slice
+    (concat of its addressable shards in index order, duplicates from
+    replication deduped); fully-addressable arrays transfer whole. This
+    mirrors the reference, which saves only the main process's LOCAL
+    batch (`Trainer.py:281-284` under accelerate).
+    """
+    if not isinstance(a, jax.Array) or a.is_fully_addressable:
+        return np.asarray(a)
+    by_index = {}
+    for s in a.addressable_shards:
+        by_index.setdefault(s.index, s.data)
+    if len(by_index) == 1:
+        return np.asarray(next(iter(by_index.values())))
+
+    def _start(idx):
+        sl = idx[0]
+        return sl.start if isinstance(sl, slice) and sl.start else 0
+    parts = [np.asarray(d) for _, d in
+             sorted(by_index.items(), key=lambda kv: _start(kv[0]))]
+    return np.concatenate(parts, axis=0)
+
+
 class Trainer:
     def __init__(self, cfg: dict, model):
         self.cfg_full = cfg
@@ -419,21 +444,25 @@ class Trainer:
                 self.metrics_trace.push(epoch, "train", host_metrics)
 
             if cfg.save_train_result_freq and \
-                    total_iter % cfg.save_train_result_freq == 0 and \
-                    jax.process_index() == 0:
+                    total_iter % cfg.save_train_result_freq == 0:
                 # eval-mode forward on the current batch, artifacts to
-                # train_results/ (`Trainer.py:281-284`)
+                # train_results/ (`Trainer.py:281-284`). The jitted eval
+                # forward over globally-sharded arrays is a collective:
+                # EVERY process must enter it (and fetch its addressable
+                # shards); only the file-writing is rank-0-guarded, as for
+                # checkpointing.
                 from animals3d_tpu.utils import results_io
-                train_result_dir = os.path.join(cfg.checkpoint_dir,
-                                                "train_results")
-                os.makedirs(train_result_dir, exist_ok=True)
                 eval_fn, eval_grid = self._eval_step_for(total_iter - 1)
-                aux = jax.device_get(eval_fn(params, device_batch,
-                                             total_iter - 1, step_rng,
-                                             eval_grid))
-                results_io.save_results(self.model, batch, aux,
-                                        train_result_dir,
-                                        start_index=total_iter)
+                aux_dev = eval_fn(params, device_batch, total_iter - 1,
+                                  step_rng, eval_grid)
+                aux = jax.tree_util.tree_map(_host_local_value, aux_dev)
+                if jax.process_index() == 0:
+                    train_result_dir = os.path.join(cfg.checkpoint_dir,
+                                                    "train_results")
+                    os.makedirs(train_result_dir, exist_ok=True)
+                    results_io.save_results(self.model, batch, aux,
+                                            train_result_dir,
+                                            start_index=total_iter)
 
             if cfg.log_image_freq and total_iter % cfg.log_image_freq == 0 \
                     and self.cfg_model_enable_render():

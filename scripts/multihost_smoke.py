@@ -24,7 +24,8 @@ import sys
 
 NPROC = 2
 LOCAL_DEVICES = 4
-PORT = 9911
+PORT = int(os.environ.get("A3D_SMOKE_PORT", "9911"))
+ROOT = os.environ.get("A3D_SMOKE_ROOT", "/tmp/a3d_multihost_synth")
 
 
 def worker(pid: int) -> None:
@@ -47,7 +48,7 @@ def worker(pid: int) -> None:
     mesh = Mesh(devices, ("dp",))
     sharding = NamedSharding(mesh, P("dp"))
 
-    root = "/tmp/a3d_multihost_synth"
+    root = ROOT
     done = os.path.join(root, ".done")
     if pid == 0 and not os.path.exists(done):
         write_synth_dataset(root, n=19, size=32)   # odd n: uneven host split
