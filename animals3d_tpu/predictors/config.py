@@ -29,8 +29,12 @@ class ShapeConfig:
     grid_res_coarse: int = 128
     # band-sparse lattice SDF evaluation (ops.dmtet.sdf_lattice_banded):
     # evaluate the MLP densely only within ±band_tau fine cells of the
-    # coarse-interpolated surface; identical meshes for near-eikonal fields
-    sparse_band_eval: bool = True
+    # coarse-interpolated surface; identical meshes for near-eikonal fields.
+    # OPT-IN: on v5e hardware the banded recon graph crashed the TPU worker
+    # (deterministic "kernel fault" inside the bench fori_loop at grid 128;
+    # the same graph passes single-dispatch) — r3 device A/Bs. Off until
+    # the fault is isolated; the dense sweep is the reference behavior.
+    sparse_band_eval: bool = False
     band_tau: float = 4.0
     band_seg_cap: Optional[int] = None
 
