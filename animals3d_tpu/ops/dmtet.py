@@ -546,7 +546,11 @@ def sdf_lattice_banded(sdf_fn, pos: jax.Array, res: int,
         bpos = pos_pad.reshape(nseg, BAND_SEG * 3)[safe] \
             .reshape(seg_cap * BAND_SEG, 3)
         bs = sdf_fn(bpos).reshape(seg_cap, BAND_SEG)
-        oob = jnp.where(valid, safe, nseg)
+        # invalid slots get DISTINCT out-of-bounds indices (nseg + i): a
+        # single shared OOB index would violate unique_indices=True
+        # (undefined behavior — interpret mode can't see it, device can)
+        oob = jnp.where(valid, safe,
+                        nseg + jnp.arange(seg_cap, dtype=safe.dtype))
         out = s_pad.reshape(nseg, BAND_SEG) \
             .at[oob].set(bs, mode="drop", unique_indices=True)
         return out.reshape(-1)[:N]
