@@ -190,13 +190,19 @@ _jtu.register_pytree_node(DeviceTetGrid, DeviceTetGrid.tree_flatten,
                           DeviceTetGrid.tree_unflatten)
 
 
-def default_capacity(res: int) -> tuple[int, int]:
+def default_capacity(res: int, scale: float = 6.0) -> tuple[int, int]:
     """Capacity bounds for extracted meshes: surface scales with res^2.
 
     Sized for shapes up to several times a sphere's area at the grid scale,
-    then rounded up to MXU-friendly multiples of 256.
+    then rounded up to MXU-friendly multiples of 256. `scale` trades static
+    headroom for step time: every capacity-shaped stage (marching-tets
+    compaction, the per-face resolve table build, face-normal relayouts)
+    scales linearly with it. A large inscribed sphere occupies ~2.2·res²
+    vertices (measured: 35.4k at res 128), so the default 6 leaves ~2.7×
+    headroom; `ExtractedMesh.num_verts/num_faces` report true counts for
+    overflow monitoring.
     """
-    v_cap = max(4096, 6 * res * res)
+    v_cap = max(4096, int(scale * res * res))
     f_cap = 2 * v_cap
     rnd = lambda x: int(-(-x // 256) * 256)
     return rnd(v_cap), rnd(f_cap)

@@ -175,7 +175,8 @@ class AnimalModel:
             else shape_cfg.grid_res
         if res not in self._grids:
             self._grids[res] = DeviceTetGrid(tetlib.load_tet_grid(res))
-        v_cap, f_cap = tetlib.default_capacity(res)
+        v_cap, f_cap = tetlib.default_capacity(
+            res, getattr(shape_cfg, "mesh_cap_scale", 6.0))
         return self._grids[res], v_cap, f_cap
 
     def phase_for_iter(self, total_iter: int, is_training: bool = True) -> Phase:

@@ -237,20 +237,29 @@ def resolve(attr: jax.Array, rast: Rast, v_clip: jax.Array,
     fid = lax.stop_gradient(rast.face_id)
     sel = jnp.maximum(fid - 1, 0)                       # (B, H, W)
 
-    # MXU one-hot-matmul fwd+bwd when the Pallas rasterizer threaded its
-    # chunk structure through: the per-pixel row gather (655k descriptor-
-    # bound rows, ~45 ms/step) and its colliding scatter-add transpose
-    # (~106 ms) both become matmuls over the winner-chunk (tile, chunk)
-    # pairs (`rasterize_pallas.resolve_rows_pallas` / `resolve_grad_pallas`)
+    # Resolve-row strategy when the Pallas rasterizer threaded its chunk
+    # structure through (`rast.bw_aux`):
+    #   hybrid (DEFAULT on TPU): plain XLA row gather forward + Pallas
+    #     one-hot-matmul BACKWARD (`resolve_grad_pallas`) replacing the
+    #     colliding per-pixel scatter-add transpose (~106 ms/step).
+    #     Device A/B (v5e, warm, interleaved): gather fwd 30.1-30.5 imgs/s
+    #     recon vs 24.5-26.3 for the one-hot fwd — the fwd matmul needs
+    #     precision=HIGHEST (Mosaic bf16 truncation, PERF_NOTES s5) whose
+    #     multi-pass cost exceeds the 655k-row gather it replaced.
+    #   mxu (A3D_MXU_FWD=1): one-hot matmul fwd AND bwd
+    #     (`resolve_rows_pallas` + `resolve_grad_pallas`).
+    #   gather (A3D_NO_MXU_BWD=1): plain autodiff gather/scatter-add.
     import os
-    use_kernels = (getattr(rast, "bw_aux", None) is not None
-                   and (jax.default_backend() == "tpu"
-                        or os.environ.get("A3D_FORCE_MXU") == "1")
-                   and os.environ.get("A3D_NO_MXU_BWD") != "1")
+    have_aux = (getattr(rast, "bw_aux", None) is not None
+                and (jax.default_backend() == "tpu"
+                     or os.environ.get("A3D_FORCE_MXU") == "1")
+                and os.environ.get("A3D_NO_MXU_BWD") != "1")
+    use_kernels = have_aux and os.environ.get("A3D_MXU_FWD") == "1"
+    use_hybrid = have_aux and not use_kernels
     # pad attr channels so the per-face row width 3(4+nA)+nK is a multiple
     # of 8 (the kernels' sublane granularity); padded channels are never read
     nA_p = nA
-    while use_kernels and (3 * (4 + nA_p) + nK) % 8:
+    while (use_kernels or use_hybrid) and (3 * (4 + nA_p) + nK) % 8:
         nA_p += 1
     if nA_p != nA:
         attr = jnp.concatenate(
@@ -297,7 +306,13 @@ def resolve(attr: jax.Array, rast: Rast, v_clip: jax.Array,
         def assemble(x, ch):                            # (B, ch, H·W)
             return x.transpose(0, 2, 1).reshape(B, H, W, ch)
 
-        rows_all = jax.vmap(lambda p, s: p[s.reshape(-1)])(pf, sel)
+        if use_hybrid:
+            ids_sorted, won = rast.bw_aux
+            rows_all = _resolve_rows_hybrid(
+                pf, sel.reshape(B, H * W), lax.stop_gradient(ids_sorted),
+                lax.stop_gradient(won), (H, W))
+        else:
+            rows_all = jax.vmap(lambda p, s: p[s.reshape(-1)])(pf, sel)
 
     def one(rT):
         # ALL barycentric math on pixel-minor arrays: channel-minor layouts
@@ -385,6 +400,36 @@ def _rrc_bwd(resolution, res, g):
 
 
 _resolve_rows_cm.defvjp(_rrc_fwd, _rrc_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _resolve_rows_hybrid(pf, sel, ids_sorted, won, resolution):
+    """Raster-order resolve rows (B, H·W, R): plain XLA gather forward,
+    Pallas one-hot-matmul backward. The gather is the faster forward on
+    device (see `resolve`), while the backward replaces XLA's colliding
+    per-pixel scatter-add with `resolve_grad_pallas` over the rasterizer's
+    winner-chunk (tile, chunk) pairs — g arrives in exactly the raster
+    order the grad kernel eats, so no relayout is needed."""
+    return jax.vmap(lambda p, s: p[s])(pf, sel)
+
+
+def _rrh_fwd(pf, sel, ids_sorted, won, resolution):
+    out = _resolve_rows_hybrid(pf, sel, ids_sorted, won, resolution)
+    return out, (pf.shape, sel, ids_sorted, won)
+
+
+def _rrh_bwd(resolution, res, g):
+    from animals3d_tpu.ops.rasterize_pallas import resolve_grad_pallas
+    (B, F, R), sel, ids_sorted, won = res
+    on_tpu = jax.default_backend() == "tpu"
+    d_pf = resolve_grad_pallas(
+        g, sel, ids_sorted, won, resolution, F,
+        interpret=not on_tpu,
+        compute_dtype=jnp.bfloat16 if on_tpu else None)
+    return d_pf, None, None, None
+
+
+_resolve_rows_hybrid.defvjp(_rrh_fwd, _rrh_bwd)
 
 
 def interpolate(attr: jax.Array, rast: Rast, faces: jax.Array) -> jax.Array:

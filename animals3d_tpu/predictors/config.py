@@ -37,6 +37,11 @@ class ShapeConfig:
     sparse_band_eval: bool = False
     band_tau: float = 4.0
     band_seg_cap: Optional[int] = None
+    # static capacity headroom for extracted meshes (geometry.tets.
+    # default_capacity): v_cap = mesh_cap_scale·res², f_cap = 2·v_cap.
+    # Every capacity-shaped stage scales with it; num_verts/num_faces in
+    # ExtractedMesh report true counts for overflow monitoring.
+    mesh_cap_scale: float = 6.0
 
 
 @dataclasses.dataclass(frozen=True)

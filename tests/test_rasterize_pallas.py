@@ -210,11 +210,16 @@ def test_resolve_kernel_path_matches_gather_path(monkeypatch):
     assert rast.bw_aux is not None
     assert int(jnp.sum(rast.face_id > 0)) > 50    # scene actually covers
 
-    def run(force):
-        if force:
+    def run(mode):
+        monkeypatch.delenv("A3D_FORCE_MXU", raising=False)
+        monkeypatch.delenv("A3D_MXU_FWD", raising=False)
+        monkeypatch.delenv("A3D_NO_MXU_BWD", raising=False)
+        if mode == "mxu":           # one-hot matmul fwd + bwd
             monkeypatch.setenv("A3D_FORCE_MXU", "1")
-        else:
-            monkeypatch.delenv("A3D_FORCE_MXU", raising=False)
+            monkeypatch.setenv("A3D_MXU_FWD", "1")
+        elif mode == "hybrid":      # gather fwd + Pallas bwd (TPU default)
+            monkeypatch.setenv("A3D_FORCE_MXU", "1")
+        else:                       # pure XLA gather/scatter autodiff
             monkeypatch.setenv("A3D_NO_MXU_BWD", "1")
 
         def f(v_clip, attr, fattr):
@@ -230,14 +235,16 @@ def test_resolve_kernel_path_matches_gather_path(monkeypatch):
         monkeypatch.delenv("A3D_NO_MXU_BWD", raising=False)
         return loss, outs, grads
 
-    l1, o1, g1 = run(True)
-    l2, o2, g2 = run(False)
-    for a, b in zip(o1, o2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-4, rtol=1e-4)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-3, rtol=2e-3)
+    l1, o1, g1 = run("mxu")
+    l2, o2, g2 = run("gather")
+    l3, o3, g3 = run("hybrid")
+    for oa, ga in ((o1, g1), (o3, g3)):
+        for a, b in zip(oa, o2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+        for a, b in zip(ga, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=2e-3)
 
 
 def test_pallas_depth_stack_early_out_parity():
