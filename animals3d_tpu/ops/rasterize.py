@@ -249,6 +249,10 @@ def resolve(attr: jax.Array, rast: Rast, v_clip: jax.Array,
     #   mxu (A3D_MXU_FWD=1): one-hot matmul fwd AND bwd
     #     (`resolve_rows_pallas` + `resolve_grad_pallas`).
     #   gather (A3D_NO_MXU_BWD=1): plain autodiff gather/scatter-add.
+    # NOTE: these env vars are read HERE, at trace time — set them before
+    # the first jit compilation of a step; changing them afterwards is
+    # silently ignored until the graph is retraced. They are A/B levers
+    # for perf experiments, not runtime configuration.
     import os
     have_aux = (getattr(rast, "bw_aux", None) is not None
                 and (jax.default_backend() == "tpu"
@@ -409,7 +413,14 @@ def _resolve_rows_hybrid(pf, sel, ids_sorted, won, resolution):
     device (see `resolve`), while the backward replaces XLA's colliding
     per-pixel scatter-add with `resolve_grad_pallas` over the rasterizer's
     winner-chunk (tile, chunk) pairs — g arrives in exactly the raster
-    order the grad kernel eats, so no relayout is needed."""
+    order the grad kernel eats, so no relayout is needed.
+
+    Contract (same as `resolve_rows_pallas`): background pixels carry
+    sel=0 and therefore gather pf[0]'s rows in the forward, but the Pallas
+    backward only scatters through winner chunks — callers MUST mask
+    background pixels out downstream and guarantee their cotangent is
+    exactly zero (`resolve` does via its keep mask), or the fwd/bwd pair
+    is inconsistent at face 0."""
     return jax.vmap(lambda p, s: p[s])(pf, sel)
 
 

@@ -41,6 +41,10 @@ class ShapeConfig:
     # default_capacity): v_cap = mesh_cap_scale·res², f_cap = 2·v_cap.
     # Every capacity-shaped stage scales with it; num_verts/num_faces in
     # ExtractedMesh report true counts for overflow monitoring.
+    # MINIMUM ~2.5: a large inscribed sphere already occupies ~2.2·res²
+    # vertices (measured 35.4k at res 128) and marching tets SILENTLY
+    # truncates the mesh past capacity — values below ~2.5 will clip real
+    # shapes with no error. Keep >=3 unless you monitor num_verts.
     mesh_cap_scale: float = 6.0
 
 

@@ -10,9 +10,9 @@ single-process simulation in tests — composing with a global dp mesh:
   2. per-host batches become one global batch via
      `jax.make_array_from_process_local_data` over a mesh spanning both
      processes (4 fake CPU devices each);
-  3. a jitted `psum`-style global histogram of sample indices verifies every
-     sample is seen EXACTLY once per epoch across hosts (no drops, no dups),
-     and a global mean matches the host-side value.
+  3. a jitted `psum`-style global histogram of sample indices verifies no
+     sample is seen more than once per epoch across hosts (no dups) and that
+     `drop_last` drops strictly fewer than one global batch of samples.
 
 Run: `python scripts/multihost_smoke.py` (spawns its two workers).
 """
@@ -21,6 +21,10 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+
+# Workers are spawned as `python <this file> --worker i`, so sys.path[0] is
+# scripts/, not the repo root — insert it so `animals3d_tpu` imports.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NPROC = 2
 LOCAL_DEVICES = 4

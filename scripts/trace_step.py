@@ -71,10 +71,16 @@ def parse_trace(trace_dir: str, topk: int = 40):
             name_by_pid_tid[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     op_lanes = {k for k, v in name_by_pid_tid.items() if "XLA Ops" in v}
     if not op_lanes:
-        # fall back: lanes on a device process
+        # fall back: ONE lane per device process (lanes on the same device
+        # pid overlap in time — summing all of them double-counts)
         dev_pids = {p for p, n in pid_names.items()
                     if "TPU" in n or "/device" in n.lower()}
-        op_lanes = {k for k in name_by_pid_tid if k[0] in dev_pids}
+        seen_pids = set()
+        op_lanes = set()
+        for k in sorted(name_by_pid_tid):
+            if k[0] in dev_pids and k[0] not in seen_pids:
+                seen_pids.add(k[0])
+                op_lanes.add(k)
     per_op = collections.Counter()
     per_op_n = collections.Counter()
     total = 0.0
@@ -168,8 +174,6 @@ def run_and_trace(which: str):
     if which in ("train", "both"):
         import optax
         from animals3d_tpu.trainer import make_optimizer
-        sys.path.insert(0, os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))))
         from __graft_entry__ import _fake_batch
         optimizer = make_optimizer(model, params)
         opt_state = optimizer.init(params)
