@@ -492,12 +492,15 @@ BAND_SEG = 32
 
 
 def sdf_lattice_banded(sdf_fn, pos: jax.Array, res: int,
-                       band_tau: float = 4.0, seg_cap: int | None = None):
+                       band_tau: float = 4.0, seg_cap: int | None = None,
+                       remat: bool = True):
     """Evaluate `sdf_fn` over a (res+1)³ lattice via the coarse+band scheme.
 
     sdf_fn: callable (N, 3) -> (N,) exact field; pos: ((res+1)³, 3) lattice
     positions (row-major i,j,k — `geometry.tets.kuhn_lattice` order).
     Returns (sdf ((res+1)³,), band_count) — band_count is diagnostic.
+    remat: callers tracing under `flax.linen.Module.init` must pass False —
+    param creation is a side effect that cannot cross the remat boundary.
     """
     n = res + 1
     N = n * n * n
@@ -506,6 +509,14 @@ def sdf_lattice_banded(sdf_fn, pos: jax.Array, res: int,
     # fine spacing from the lattice structure: consecutive k differ by h
     # (global jitter is a constant shift, so the difference is exact)
     h = pos[1, 2] - pos[0, 2]
+
+    # remat every MLP sweep: under `lax.cond` the residuals of BOTH branches
+    # are unioned into the live set, and the dense branch's per-layer
+    # activations at (res+1)³ rows are GBs — the un-remat'd banded train
+    # graph exceeded v5e HBM at compile (18.3 G > 15.75 G). With checkpoint
+    # only the point coordinates are saved; the backward recomputes.
+    if remat:
+        sdf_fn = jax.checkpoint(sdf_fn)
 
     pos3 = pos.reshape(n, n, n, 3)
     coarse = pos3[::2, ::2, ::2].reshape(-1, 3)         # (m³, 3)
@@ -534,7 +545,12 @@ def sdf_lattice_banded(sdf_fn, pos: jax.Array, res: int,
     count = flag.sum()
 
     if seg_cap is None:
-        seg_cap = max(256, int(nseg) // 3)
+        # measured occupancy: a grid-128 ellipsoid init flags 4,580 of
+        # 67,085 segments (6.8%); //8 leaves ~1.8x headroom while keeping
+        # the band re-eval ~4x smaller than the dense sweep. Overflow falls
+        # back to the dense branch (exact), so a tight cap costs speed on
+        # pathological shapes, never correctness.
+        seg_cap = max(256, int(nseg) // 8)
 
     def banded(_):
         csum = jnp.cumsum(flag.astype(jnp.int32))

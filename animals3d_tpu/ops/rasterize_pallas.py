@@ -87,6 +87,24 @@ def _no_zskip() -> bool:
     return os.environ.get("A3D_NO_ZSKIP") == "1"
 
 
+def _kernel_v() -> int:
+    """Visibility-kernel version (A3D_RASTER_V, trace-time A/B lever).
+
+    3 (default): the lane-major kernel (PERF_NOTES sessions 1-6).
+    4: transposed (faces-on-sublanes) coverage math — the two winner
+      min-reductions run across SUBLANES (log2(8)=3 shuffle steps per vreg
+      column vs log2(128)=7 across lanes) and all per-pixel state updates
+      run on (1, TP) rows (4 vregs) instead of (TP, 1) columns (64 vregs at
+      1/128 lane occupancy). Same dot, same rounding, same tiebreaks —
+      device winners are bit-identical to v3 (fid/z exact match, measured).
+      End-to-end it is NEUTRAL (v5e bench 2026-08-19: recon 35.74 vs 35.58
+      imgs/s, train 458 vs 445 ms — within tunnel contention noise), i.e.
+      the kernel is not reduction/layout bound; kept as a lever because the
+      balance may shift with chunk geometry."""
+    import os
+    return int(os.environ.get("A3D_RASTER_V", "3"))
+
+
 def _raster_kernel(ids_ref, cnt_ref, zlo_ref, pix_ref, A_hbm, z_ref, id_ref,
                    won_ref, abuf, took, sem, *, chunk: int, kmax: int,
                    nch: int, nsub: int = NSUB):
@@ -203,6 +221,118 @@ def _raster_kernel(ids_ref, cnt_ref, zlo_ref, pix_ref, A_hbm, z_ref, id_ref,
     jax.lax.fori_loop(0, n, body, 0)
 
 
+def _raster_kernel_v4(ids_ref, cnt_ref, zlo_ref, bbase_ref, pixT_ref, A_hbm,
+                      z_ref, id_ref, won_ref, abuf, took, sem,
+                      *, chunk: int, kmax: int, nch: int, nsub: int = NSUB):
+    """Transposed visibility kernel: faces ride SUBLANES, pixels ride LANES.
+
+    Numerics are identical to `_raster_kernel` — the edge/depth dot is the
+    same contraction with the same (default-precision) MXU rounding, the
+    winner z/id min-reductions see the same values, and the tiebreak is the
+    same masked min over ORIGINAL face ids. The ids never ride a DMA: the
+    Morton sort permutes BLOCK(32)-face runs of consecutive ids, so a
+    sub-block's (sub, 1) id column is rebuilt from sub//BLOCK scalar-
+    prefetched run bases (`bbase_ref`) + a sublane iota.
+    What changes vs v3 is pure layout: the reductions run across sublanes
+    (3 shuffle steps/column vs 7 across lanes) and the per-pixel state
+    updates run on (1, TP) rows (4 vregs) instead of (TP, 1) columns
+    (64 vregs at 1/128 lane occupancy).
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    T = pl.num_programs(1)
+
+    z_ref[...] = jnp.full_like(z_ref, _BIG)
+    id_ref[...] = jnp.zeros_like(id_ref)
+    won_ref[...] = jnp.zeros_like(won_ref)
+    kwid = won_ref.shape[-1]
+
+    n_raw = cnt_ref[b, i]
+    use_ids = n_raw <= kmax
+    n = jnp.where(use_ids, n_raw, nch)
+    row = (b * T + i) * kmax
+    # bbase is (1, nblk) when the face order is batch-shared (the fv_rows
+    # fast path) or (B, nblk) when per-image (the generic path)
+    bb_b = jnp.minimum(b, bbase_ref.shape[0] - 1)
+    runs = max(1, (chunk // nsub) // BLOCK)
+    blocks_per_chunk = chunk // BLOCK
+
+    def entry_of(k):
+        v = ids_ref[row + jnp.minimum(k, kmax - 1)]
+        cid = jnp.where(use_ids, v & 0xFFFF, k)
+        m8 = jnp.where(use_ids, v >> 16, (1 << nsub) - 1)
+        return cid, m8
+
+    def dma(slot, k):
+        cid, _ = entry_of(k)
+        return pltpu.make_async_copy(A_hbm.at[b, cid], abuf.at[slot],
+                                     sem.at[slot])
+
+    for kpre in range(NBUF):
+        @pl.when(kpre < n)
+        def _(kpre=kpre):
+            dma(kpre, kpre).start()
+
+    Pt = pixT_ref[0]                                  # (3, TP)
+    sub = chunk // nsub
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+    run_off = i0 % BLOCK
+
+    def body(k, _):
+        slot = k % NBUF
+        dma(slot, k).wait()
+        A = abuf[slot]                                # (3, 8, chunk)
+        cid, m8 = entry_of(k)
+        took[...] = jnp.zeros_like(took)
+        live = zlo_ref[b * nch + cid] <= _zq(jnp.max(z_ref[0, 0]))
+        for g in range(nsub):
+            @pl.when(live & ((m8 >> g) % 2 == 1))
+            def _(g=g):
+                Ag = A[:, :4, g * sub:(g + 1) * sub]
+                # contract the coefficient axis of BOTH operands: output is
+                # (4*sub, TP) — faces/quantities on sublanes, pixels on
+                # lanes. Same products, same f32 sum-of-3 as v3's
+                # P @ Ag (just transposed), so device rounding matches.
+                E = jax.lax.dot_general(
+                    Ag.reshape(3, 4 * sub), Pt, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                e0 = E[0 * sub:1 * sub]
+                e1 = E[1 * sub:2 * sub]
+                e2 = E[2 * sub:3 * sub]
+                zz = E[3 * sub:4 * sub]
+                m = jnp.minimum(jnp.minimum(e0, e1), e2)
+                zc = jnp.where(m >= 0, zz, _BIG)          # (sub, TP)
+                gz = jnp.min(zc, axis=0, keepdims=True)   # (1, TP)
+                # original-id column from the 32-face run bases
+                blk0 = cid * blocks_per_chunk + g * runs
+                base = jnp.zeros_like(i0)
+                for j in range(runs):
+                    bj = bbase_ref[bb_b, blk0 + j]
+                    base = jnp.where(
+                        (i0 >= j * BLOCK) & (i0 < (j + 1) * BLOCK), bj, base)
+                ids = (base + run_off).astype(jnp.float32)  # (sub, 1)
+                gid = jnp.min(jnp.where(zc <= gz, ids, _BIG),
+                              axis=0, keepdims=True)      # (1, TP)
+                zr = z_ref[0, 0]                          # (1, TP)
+                gi = gid.astype(jnp.int32) + 1
+                take = (gz < zr) | ((gz == zr) & (zr < _BIG)
+                                    & (gi < id_ref[0, 0]))
+                z_ref[0, 0] = jnp.where(take, gz, zr)
+                id_ref[0, 0] = jnp.where(take, gi, id_ref[0, 0])
+                took[...] = jnp.where(take, 1.0, took[...])
+
+        anyf = took[...].max() > 0.0
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, kwid), 1)
+        won_ref[0, 0] = won_ref[0, 0] | jnp.where(anyf & (lane == k), 1, 0)
+
+        @pl.when(k + NBUF < n)
+        def _():
+            dma(slot, k + NBUF).start()
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
 def _tile_pixels(height: int, width: int):
     """Pixel-center coords in 2-D-tile order → (ntiles, TP, 3)."""
     ys = (jnp.arange(height, dtype=jnp.float32) + 0.5)
@@ -232,8 +362,54 @@ def _morton3(x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
 
 
 def _pallas_visibility(order, counts, zlo_q, P, A, *, B, n_pix, T, chunk,
-                       kmax, nch, nsub, interpret):
+                       kmax, nch, nsub, interpret, bbase=None):
     kwid = -(-max(kmax, 1) // 128) * 128
+    cost = pl.CostEstimate(
+        flops=2 * B * n_pix * chunk * nch * 24 // 8,
+        bytes_accessed=B * T * 96 * chunk + B * n_pix * 8,
+        transcendentals=0)
+    use_v4 = (_kernel_v() >= 4 and bbase is not None
+              and chunk % nsub == 0 and (chunk // nsub) % BLOCK == 0)
+    if use_v4:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,   # + per-block original-id run bases
+            grid=(B, T),
+            in_specs=[
+                pl.BlockSpec((1, 3, TP),
+                             lambda b, i, ids, cnt, zlo, bb: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # A in HBM
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, 1, TP),
+                             lambda b, i, ids, cnt, zlo, bb: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, TP),
+                             lambda b, i, ids, cnt, zlo, bb: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, kwid),
+                             lambda b, i, ids, cnt, zlo, bb: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((NBUF, 3, 8, chunk), jnp.float32),
+                pltpu.VMEM((1, TP), jnp.float32),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+            ],
+        )
+        Pt = jnp.swapaxes(P, 1, 2)                      # (T, 3, TP)
+        z, fid, wonk = pl.pallas_call(
+            functools.partial(_raster_kernel_v4, chunk=chunk, kmax=kmax,
+                              nch=nch, nsub=nsub),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((B, T, 1, TP), jnp.float32),
+                       jax.ShapeDtypeStruct((B, T, 1, TP), jnp.int32),
+                       jax.ShapeDtypeStruct((B, T, 8, kwid), jnp.int32)],
+            interpret=interpret,
+            cost_estimate=cost,
+        )(order, counts, zlo_q, bbase, Pt, A)
+        # (B, T, 1, TP) has the same linear order as (B, n_pix, 1)
+        return (z.reshape(B, n_pix, 1), fid.reshape(B, n_pix, 1), wonk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # chunk-id/mask lists + counts + chunk z-min
         grid=(B, T),
@@ -268,10 +444,7 @@ def _pallas_visibility(order, counts, zlo_q, P, A, *, B, n_pix, T, chunk,
                    jax.ShapeDtypeStruct((B, n_pix, 1), jnp.int32),
                    jax.ShapeDtypeStruct((B, T, 8, kwid), jnp.int32)],
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * n_pix * chunk * nch * 24 // 8,
-            bytes_accessed=B * T * 96 * chunk + B * n_pix * 8,
-            transcendentals=0),
+        cost_estimate=cost,
     )(order, counts, zlo_q, P, A)
 
 
@@ -403,9 +576,9 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     zlo_q = _zq(jnp.where(ok, min3(z0, z1, z2), _BIG)
                 .reshape(B, nch, chunk).min(-1))           # (B, nch) i32
     # the flat (B*T*kmax,) list pays SMEM lane padding once globally, so
-    # the ~1 MB SMEM budget divides exactly; tiles whose true chunk count
+    # a ~928 KB SMEM budget (leaving room for the v4 id-run bases) divides exactly; tiles whose true chunk count
     # exceeds kmax fall back to the in-kernel full scan
-    kmax = max(1, min(nch, (960 * 1024 // 4) // (B * T)))
+    kmax = max(1, min(nch, (928 * 1024 // 4) // (B * T)))
     if _no_zskip():
         zlo_q = jnp.full_like(zlo_q, -2**31)               # skip never fires
     zkey = jnp.where(overlap, zlo_q[:, None, :], jnp.int32(2**31 - 1))
@@ -415,9 +588,15 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
         .reshape(B * T * kmax)
     counts = overlap.sum(-1).astype(jnp.int32)
 
+    # v4 tiebreak ids: the Morton sort moves whole BLOCK-face runs of
+    # consecutive original ids, so sorted block j's ids are
+    # perm[j]*BLOCK + 0..BLOCK-1 — the kernel rebuilds each (sub, 1) id
+    # column from these scalar-prefetched run bases (batch-shared here)
+    bbase = (perm * blk).astype(jnp.int32)[None]         # (1, nblk)
     z, fid, wonk = _pallas_visibility(
         order, counts, zlo_q.reshape(B * nch), P, A8, B=B, n_pix=n_pix, T=T,
-        chunk=chunk, kmax=kmax, nch=nch, nsub=nsub, interpret=interpret)
+        chunk=chunk, kmax=kmax, nch=nch, nsub=nsub, interpret=interpret,
+        bbase=bbase)
     z = _untile(z, B, nty, ntx)
     fid = _untile(fid, B, nty, ntx)
     z = jnp.where(fid > 0, z, 0.0)
@@ -555,9 +734,9 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     overlap = m8 > 0
     zlo_q = _zq(fzmin.reshape(B, nch, chunk).min(-1))          # (B, nch)
     # the flat (B*T*kmax,) list pays SMEM lane padding once globally, so
-    # the ~1 MB SMEM budget divides exactly; tiles whose true chunk count
+    # a ~928 KB SMEM budget (leaving room for the v4 id-run bases) divides exactly; tiles whose true chunk count
     # exceeds kmax fall back to the in-kernel full scan
-    kmax = max(1, min(nch, (960 * 1024 // 4) // (B * T)))
+    kmax = max(1, min(nch, (928 * 1024 // 4) // (B * T)))
     if _no_zskip():
         zlo_q = jnp.full_like(zlo_q, -2**31)               # skip never fires
     zkey = jnp.where(overlap, zlo_q[:, None, :], jnp.int32(2**31 - 1))
@@ -567,10 +746,12 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
         .reshape(B * T * kmax)
     counts = overlap.sum(-1).astype(jnp.int32)                 # (B, T)
 
+    bbase = (perm * blk).astype(jnp.int32)               # (B, nblk)
     z, fid, _won = _pallas_visibility(order, counts, zlo_q.reshape(B * nch),
                                       P, A, B=B, n_pix=n_pix, T=T,
                                       chunk=chunk, kmax=kmax, nch=nch,
-                                      nsub=nsub, interpret=interpret)
+                                      nsub=nsub, interpret=interpret,
+                                      bbase=bbase)
     z = _untile(z, B, nty, ntx)
     fid = _untile(fid, B, nty, ntx)
     z = jnp.where(fid > 0, z, 0.0)

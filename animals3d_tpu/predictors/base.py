@@ -109,7 +109,8 @@ class BasePredictor(nn.Module):
             sdf, _ = dmtet.sdf_lattice_banded(
                 lambda p: self.get_sdf(p, feats=feats)[..., 0],
                 pos, grid.res, band_tau=shape.band_tau,
-                seg_cap=shape.band_seg_cap)
+                seg_cap=shape.band_seg_cap,
+                remat=not self.is_initializing())
         else:
             sdf = self.get_sdf(pos, feats=feats)[..., 0]
         out = dmtet.marching_tets(pos, sdf, grid, v_cap, f_cap)

@@ -93,9 +93,13 @@ def make_optimizer(model, params):
             lr = optax.piecewise_constant_schedule(
                 cfg.lr, {int(m): cfg.scheduler_gamma
                          for m in cfg.scheduler_milestone})
-        if cfg.weight_decay:
-            return optax.adamw(lr, weight_decay=cfg.weight_decay)
-        return optax.adam(lr)
+        tx = optax.adamw(lr, weight_decay=cfg.weight_decay) \
+            if cfg.weight_decay else optax.adam(lr)
+        # flatten: run the adam math on ONE raveled vector per partition
+        # instead of per-leaf — the per-leaf update was ~4.3k scalar-shaped
+        # ops/step ≈ 38 ms of pure dispatch overhead on v5e (device trace
+        # 2026-08-19); identical math, update order is elementwise
+        return optax.flatten(tx)
 
     transforms = {
         "base": adam(model.cfg_optim_base),

@@ -81,19 +81,33 @@ def parse_trace(trace_dir: str, topk: int = 40):
             if k[0] in dev_pids and k[0] not in seen_pids:
                 seen_pids.add(k[0])
                 op_lanes.add(k)
+    # EXCLUSIVE (self) time per op: lane events nest (while/call spans
+    # contain their body ops), so flat summing double-counts — subtract
+    # each child's duration from its enclosing span via a nesting stack.
     per_op = collections.Counter()
     per_op_n = collections.Counter()
     total = 0.0
+    by_lane = collections.defaultdict(list)
     for e in events:
         if e.get("ph") != "X":
             continue
         if (e.get("pid"), e.get("tid")) not in op_lanes:
             continue
-        dur = e.get("dur", 0) / 1e3   # us -> ms
-        nm = e.get("name", "?")
-        per_op[nm] += dur
-        per_op_n[nm] += 1
-        total += dur
+        by_lane[(e["pid"], e.get("tid"))].append(e)
+    for lane_events in by_lane.values():
+        lane_events.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack = []   # (ts, dur, name)
+        for e in lane_events:
+            ts, dur, nm = e["ts"], e.get("dur", 0), e.get("name", "?")
+            while stack and ts >= stack[-1][0] + stack[-1][1]:
+                stack.pop()
+            if stack:
+                per_op[stack[-1][2]] -= dur / 1e3
+            else:
+                total += dur / 1e3        # top-level spans = wall time
+            per_op[nm] += dur / 1e3
+            per_op_n[nm] += 1
+            stack.append((ts, dur, nm))
     fam = collections.Counter()
     for nm, ms in per_op.items():
         fam[_family(nm)] += ms
