@@ -556,20 +556,26 @@ def sdf_lattice_banded(sdf_fn, pos: jax.Array, res: int,
         csum = jnp.cumsum(flag.astype(jnp.int32))
         seg_idx = first_geq(csum, jnp.arange(1, seg_cap + 1,
                                              dtype=jnp.int32))
-        valid = jnp.arange(seg_cap) < count
         safe = jnp.minimum(seg_idx, nseg - 1)
         pos_pad = jnp.pad(pos, ((0, padN - N), (0, 0)), mode="edge")
         bpos = pos_pad.reshape(nseg, BAND_SEG * 3)[safe] \
             .reshape(seg_cap * BAND_SEG, 3)
         bs = sdf_fn(bpos).reshape(seg_cap, BAND_SEG)
-        # invalid slots get DISTINCT out-of-bounds indices (nseg + i): a
-        # single shared OOB index would violate unique_indices=True
-        # (undefined behavior — interpret mode can't see it, device can)
-        oob = jnp.where(valid, safe,
-                        nseg + jnp.arange(seg_cap, dtype=safe.dtype))
-        out = s_pad.reshape(nseg, BAND_SEG) \
-            .at[oob].set(bs, mode="drop", unique_indices=True)
-        return out.reshape(-1)[:N]
+        # GATHER-merge (no scatter): flagged segment j was re-evaluated at
+        # band slot rank(j) = csum[j]-1 (seg_idx∘rank is the identity on
+        # flagged rows), so out[j] = bs[rank(j)] where flagged, else the
+        # interpolated row. The earlier scatter formulation
+        # (.at[oob].set(bs, unique_indices=True)) is UB-prone — a shared
+        # OOB slot for invalid band entries deterministically faulted the
+        # TPU worker (r3), and scatter+unique_indices remains an easy
+        # invariant to break; the gather's autodiff transpose is a plain
+        # well-defined scatter-add. Invalid band slots (rank ≥ count) are
+        # never gathered and receive zero cotangent.
+        rank = jnp.clip(csum - 1, 0, seg_cap - 1)
+        take = flag & (csum - 1 < seg_cap)
+        merged = jnp.where(take[:, None], bs[rank],
+                           s_pad.reshape(nseg, BAND_SEG))
+        return merged.reshape(-1)[:N]
 
     def dense(_):
         return sdf_fn(pos)

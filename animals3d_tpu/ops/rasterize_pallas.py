@@ -67,6 +67,20 @@ def _morton2(x: jax.Array, y: jax.Array) -> jax.Array:
 NSUB = 8           # sub-blocks per chunk for the in-kernel mask cull
 NBUF = 4           # DMA ring depth (prefetch distance for chunk copies)
 
+
+def _nsub() -> int:
+    """Sub-blocks per chunk (A3D_NSUB, trace-time A/B lever; default NSUB).
+
+    The kernel's VMEM traffic is dominated by the (TP, 4·sub) edge/depth
+    matrix each LIVE sub-block materializes, so finer culling granularity
+    (more, smaller sub-blocks with tighter bboxes) trades extra `pl.when`
+    branches for proportionally less coverage math. 16 is the max that
+    still fits the packed SMEM list entry (chunk id low 16 bits, overlap
+    mask high 16 — the in-kernel `v >> 16` arithmetic shift sign-extends,
+    but bit g of the mask is exact for g < 16)."""
+    import os
+    return min(16, int(os.environ.get("A3D_NSUB", str(NSUB))))
+
 # occlusion early-out: per-chunk z-min is floor-quantized to i32 at this
 # scale (clamped to ±8 NDC) so it rides the SMEM scalar-prefetch stream;
 # floor-quantized strict `>` implies true strict `>`, so the skip is
@@ -552,7 +566,8 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     # ---- per-(tile, chunk) lists + sub-block masks ------------------------
     P, nty, ntx = _tile_pixels(height, width)
     T = nty * ntx
-    nsub = NSUB if chunk % NSUB == 0 and chunk >= NSUB else 1
+    ns = _nsub()
+    nsub = ns if chunk % ns == 0 and chunk >= ns else 1
     sub = chunk // nsub
     min3 = lambda u, v, t: jnp.minimum(jnp.minimum(u, v), t)
     max3 = lambda u, v, t: jnp.maximum(jnp.maximum(u, v), t)
@@ -718,7 +733,8 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     # (tile, chunk), packed into the SMEM entry's high bits so the kernel
     # can skip sub-blocks whose bbox misses the tile (the coverage math per
     # face column is the kernel's dominant cost)
-    nsub = NSUB if chunk % NSUB == 0 and chunk >= NSUB else 1
+    ns = _nsub()
+    nsub = ns if chunk % ns == 0 and chunk >= ns else 1
     sb = fbox.reshape(B, nch, nsub, chunk // nsub, 4)
     sbox = jnp.concatenate([sb[..., :2].min(3), sb[..., 2:].max(3)], -1)
     tids = jnp.arange(T, dtype=jnp.int32)

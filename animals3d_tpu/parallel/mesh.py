@@ -31,7 +31,13 @@ def enable_compilation_cache(path: Optional[str] = None):
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        # honor an explicit env override (e.g. =0 for cache experiments);
+        # jax reads the env only at import, so config.update would
+        # silently stomp it here otherwise
+        thresh = float(os.environ.get(
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          thresh)
     except Exception as e:      # older jax: silently skip
         print(f"compilation cache unavailable: {e}")
 

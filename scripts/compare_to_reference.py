@@ -348,6 +348,58 @@ def render_leg(model, params, out_dir, ref_dump, n_views, image_size):
     return report
 
 
+def capacity_leg(model, params):
+    """Production-capacity extraction self-check (no reference side).
+
+    Extracts the prior mesh at the CONFIG grid resolution with the
+    production v_cap/f_cap (`geometry.tets.default_capacity` via
+    `model.grid_for_phase`) on the procedural Kuhn lattice — with the
+    dense AND the banded SDF sweep — and reports capacity occupancy and
+    truncation. The reference's dynamic-shape extraction
+    (`/root/reference/model/geometry/dmtet.py:296-310`) cannot truncate;
+    our capacity-bounded one must prove it doesn't at real sizes. Run this
+    for grids too big to hold both frameworks in RAM at once (the full
+    parity leg at Kuhn-256 = ~101M tets OOMs a 125 GB box)."""
+    import time
+
+    import jax
+
+    phase = model.phase_for_iter(10 ** 9, is_training=False)   # fine grid
+    grid, v_cap, f_cap = model.grid_for_phase(phase)
+    report = {"grid_res": int(grid.res), "v_cap": int(v_cap),
+              "f_cap": int(f_cap),
+              "n_grid_verts": int(grid.verts.shape[0]),
+              # lattice grids carry no tet table (shift-based kernel)
+              "n_tets": (int(grid.tets.shape[0]) if grid.tets is not None
+                         else 6 * grid.res ** 3)}
+    cfg_shape = model.netBase.cfg.cfg_shape        # frozen dataclass
+    prev = cfg_shape.sparse_band_eval
+    for name, band in (("dense", False), ("banded", True)):
+        object.__setattr__(cfg_shape, "sparse_band_eval", band)
+        try:
+            t0 = time.time()
+            mesh, _sdf = jax.jit(
+                lambda p: model.netBase.apply(
+                    {"params": p["netBase"]}, grid, v_cap, f_cap, 0, None)
+            )(params)
+            jax.block_until_ready(mesh.v_pos)
+            nv, nf = int(mesh.num_verts), int(mesh.num_faces)
+            report[name] = {
+                "num_verts": nv, "num_faces": nf,
+                "v_occupancy": round(nv / v_cap, 4),
+                "f_occupancy": round(nf / f_cap, 4),
+                "truncated": bool(nv >= v_cap or nf >= f_cap),
+                "extract_s": round(time.time() - t0, 1),
+            }
+        finally:
+            object.__setattr__(cfg_shape, "sparse_band_eval", prev)
+    if "banded" in report and "dense" in report:
+        report["banded_matches_dense"] = (
+            report["banded"]["num_verts"] == report["dense"]["num_verts"]
+            and report["banded"]["num_faces"] == report["dense"]["num_faces"])
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="train_magicpony_horse")
@@ -361,6 +413,10 @@ def main():
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--override", action="append", default=[])
     ap.add_argument("--skip-render", action="store_true")
+    ap.add_argument("--ours-only", action="store_true",
+                    help="production-capacity extraction self-check only "
+                         "(no reference side; for grids whose dual-"
+                         "framework parity leg exceeds RAM)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (parity needs no TPU)")
     args = ap.parse_args()
@@ -373,6 +429,18 @@ def main():
         ap.error("need --checkpoint or --random-weights")
 
     model, _cfg = build_model(args.config, args.override)
+
+    if args.ours_only:
+        import jax
+        rng = jax.random.PRNGKey(0)
+        params = model.init_params(rng)
+        report = {"config": args.config, "mode": "ours_only_capacity",
+                  "capacity": capacity_leg(model, params)}
+        with open(os.path.join(args.out, "report.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report, indent=2))
+        return
+
     res = model.cfg_predictor_base.cfg_shape.grid_res
     tets_npz, n_grid_verts = ensure_tets_npz(args.tets, res, args.out)
 
