@@ -493,7 +493,7 @@ BAND_SEG = 32
 
 def sdf_lattice_banded(sdf_fn, pos: jax.Array, res: int,
                        band_tau: float = 4.0, seg_cap: int | None = None,
-                       remat: bool = True):
+                       remat: bool = True, force_branch: str | None = None):
     """Evaluate `sdf_fn` over a (res+1)³ lattice via the coarse+band scheme.
 
     sdf_fn: callable (N, 3) -> (N,) exact field; pos: ((res+1)³, 3) lattice
@@ -510,11 +510,12 @@ def sdf_lattice_banded(sdf_fn, pos: jax.Array, res: int,
     # (global jitter is a constant shift, so the difference is exact)
     h = pos[1, 2] - pos[0, 2]
 
-    # remat every MLP sweep: under `lax.cond` the residuals of BOTH branches
-    # are unioned into the live set, and the dense branch's per-layer
-    # activations at (res+1)³ rows are GBs — the un-remat'd banded train
-    # graph exceeded v5e HBM at compile (18.3 G > 15.75 G). With checkpoint
-    # only the point coordinates are saved; the backward recomputes.
+    # remat every MLP sweep: the coarse (m³ rows) + band (seg_cap·32 rows)
+    # per-layer activations are ~GBs at res 128 in a train graph that also
+    # holds the render/backbone live set — checkpoint saves only the point
+    # coordinates and recomputes in the backward. (Historically this also
+    # interacted with a `lax.cond` dense fallback whose cond+remat grad
+    # graph HANGS on v5e — the cond is gone, see the tail of this fn.)
     if remat:
         sdf_fn = jax.checkpoint(sdf_fn)
 
@@ -547,9 +548,9 @@ def sdf_lattice_banded(sdf_fn, pos: jax.Array, res: int,
     if seg_cap is None:
         # measured occupancy: a grid-128 ellipsoid init flags 4,580 of
         # 67,085 segments (6.8%); //8 leaves ~1.8x headroom while keeping
-        # the band re-eval ~4x smaller than the dense sweep. Overflow falls
-        # back to the dense branch (exact), so a tight cap costs speed on
-        # pathological shapes, never correctness.
+        # the band re-eval ~4x smaller than the dense sweep. Flagged
+        # segments past the cap keep the coarse interpolation (see below) —
+        # monitor the returned `count` on pathological shapes.
         seg_cap = max(256, int(nseg) // 8)
 
     def banded(_):
@@ -577,8 +578,15 @@ def sdf_lattice_banded(sdf_fn, pos: jax.Array, res: int,
                            s_pad.reshape(nseg, BAND_SEG))
         return merged.reshape(-1)[:N]
 
-    def dense(_):
-        return sdf_fn(pos)
-
-    sdf = jax.lax.cond(count <= seg_cap, banded, dense, operand=None)
-    return sdf, count
+    # force_branch="dense": debug/reference lever — the exact dense sweep
+    if force_branch == "dense":
+        return sdf_fn(pos), count
+    # NO lax.cond dense fallback: a `lax.cond` whose branches contain
+    # `jax.checkpoint`ed MLP sweeps compiles fine but the compiled TRAIN
+    # (grad) graph spins forever on v5e until the worker watchdog kills it
+    # (bisected 2026-08-19, scripts/debug_band_fault.py: cond+remat hangs,
+    # cond-only and remat-only both run). Overflow degrades gracefully
+    # instead: flagged segments past seg_cap keep the coarse interpolation
+    # (the same approximation the out-of-band region already uses) — and
+    # `count` is returned so callers can monitor band occupancy.
+    return banded(None), count

@@ -98,8 +98,22 @@ def make_optimizer(model, params):
         # flatten: run the adam math on ONE raveled vector per partition
         # instead of per-leaf — the per-leaf update was ~4.3k scalar-shaped
         # ops/step ≈ 38 ms of pure dispatch overhead on v5e (device trace
-        # 2026-08-19); identical math, update order is elementwise
-        return optax.flatten(tx)
+        # 2026-08-19); identical math, update order is elementwise.
+        # A stage-frozen model can leave a partition EMPTY (every leaf
+        # masked, e.g. Ponymation stage 1's base partition): flatten's
+        # init would concatenate zero arrays — fall back to the plain
+        # transform there (no leaves ⇒ no dispatch overhead either).
+        flat = optax.flatten(tx)
+
+        def init(params):
+            return (flat if jax.tree_util.tree_leaves(params) else tx) \
+                .init(params)
+
+        def update(updates, state, params=None):
+            return (flat if jax.tree_util.tree_leaves(updates) else tx) \
+                .update(updates, state, params)
+
+        return optax.GradientTransformation(init, update)
 
     transforms = {
         "base": adam(model.cfg_optim_base),

@@ -142,7 +142,10 @@ def main():
     # the manual netBase→netInstance→render chain below is MagicPony-shaped;
     # Fauna/Ponymation configs (BENCH_CONFIG) report only the train-step line
     from animals3d_tpu.models.magicpony import MagicPony
-    do_recon = isinstance(model, MagicPony)
+    # BENCH_SKIP_RECON=1: train-step-only run (A/B iterations — the recon
+    # graph's compile alone can dominate a bounded bench slot)
+    do_recon = (isinstance(model, MagicPony)
+                and os.environ.get("BENCH_SKIP_RECON") != "1")
 
     def recon(params, images, rng, grid):
         prior_mesh, _sdf = model.netBase.apply(

@@ -164,7 +164,10 @@ def test_sdf_lattice_banded_matches_dense():
         return (1.4 - r) + bump
 
     dense = sdf_fn(pos)
-    banded, count = dm.sdf_lattice_banded(sdf_fn, pos, res, band_tau=4.0)
+    # seg_cap=512: this field flags 350 segments at res 32, above the
+    # small-grid default cap (256) — the exactness legs need headroom
+    banded, count = dm.sdf_lattice_banded(sdf_fn, pos, res, band_tau=4.0,
+                                          seg_cap=512)
     assert int(count) > 0
     n = res + 1
     v_cap, f_cap = 8192, 16384
@@ -183,11 +186,20 @@ def test_sdf_lattice_banded_matches_dense():
     np.testing.assert_allclose(np.asarray(banded)[band],
                                np.asarray(dense)[band], atol=1e-6)
 
-    # overflow capacity -> dense fallback, still exact everywhere
-    full, _ = dm.sdf_lattice_banded(sdf_fn, pos, res, band_tau=4.0,
-                                    seg_cap=4)
-    np.testing.assert_allclose(np.asarray(full), np.asarray(dense),
-                               atol=1e-6)
+    # overflow capacity -> graceful degradation (NOT a lax.cond dense
+    # fallback: a cond whose branches hold remat'd MLP sweeps hangs the
+    # compiled v5e grad graph — scripts/debug_band_fault.py). The first
+    # seg_cap flagged segments still carry the exact field; the rest keep
+    # the coarse interpolation, and everything stays finite.
+    full, cnt = dm.sdf_lattice_banded(sdf_fn, pos, res, band_tau=4.0,
+                                      seg_cap=4)
+    full = np.asarray(full)
+    assert int(cnt) > 4                     # genuinely overflowing
+    assert np.isfinite(full).all()
+    exact = np.abs(full - np.asarray(dense)) < 1e-6
+    segs_exact = exact[:(full.size // dm.BAND_SEG) * dm.BAND_SEG] \
+        .reshape(-1, dm.BAND_SEG).all(1)
+    assert segs_exact.sum() >= 4            # the capped prefix is exact
 
 
 def test_sdf_lattice_banded_regularizer_grads_close():
@@ -216,7 +228,8 @@ def test_sdf_lattice_banded_regularizer_grads_close():
 
     def loss_banded(params):
         sdf, _ = dmtet.sdf_lattice_banded(
-            lambda p: m.apply(params, p), pos, res, band_tau=4.0)
+            lambda p: m.apply(params, p), pos, res, band_tau=4.0,
+            seg_cap=512)
         return dmtet.sdf_bce_reg_loss(sdf, edges)
 
     def loss_dense(params):
