@@ -114,14 +114,19 @@ def _kernel_v() -> int:
       End-to-end it is NEUTRAL (v5e bench 2026-08-19: recon 35.74 vs 35.58
       imgs/s, train 458 vs 445 ms — within tunnel contention noise), i.e.
       the kernel is not reduction/layout bound; kept as a lever because the
-      balance may shift with chunk geometry."""
+      balance may shift with chunk geometry.
+    5: v3 loop structure but the 4 affine channels (3 edge functions + z)
+      are evaluated as VPU broadcast-FMAs instead of the (TP,3)@(3,4·sub)
+      dot — the K=3 matmul runs the MXU at 3/128 occupancy, and Mosaic's
+      default f32 dot truncates operands to bf16 (PERF_NOTES session 5),
+      so the FMA form is exact f32 as well."""
     import os
     return int(os.environ.get("A3D_RASTER_V", "3"))
 
 
 def _raster_kernel(ids_ref, cnt_ref, zlo_ref, pix_ref, A_hbm, z_ref, id_ref,
                    won_ref, abuf, took, sem, *, chunk: int, kmax: int,
-                   nch: int, nsub: int = NSUB):
+                   nch: int, nsub: int = NSUB, vpu_e: bool = False):
     b = pl.program_id(0)
     i = pl.program_id(1)
     T = pl.num_programs(1)
@@ -190,13 +195,30 @@ def _raster_kernel(ids_ref, cnt_ref, zlo_ref, pix_ref, A_hbm, z_ref, id_ref,
         for g in range(nsub):
             @pl.when(live & ((m8 >> g) % 2 == 1))
             def _(g=g):
-                Ag = A[:, :4, g * sub:(g + 1) * sub]
-                E = jnp.dot(P, Ag.reshape(3, 4 * sub),
-                            preferred_element_type=jnp.float32)
-                e0 = E[:, 0 * sub:1 * sub]
-                e1 = E[:, 1 * sub:2 * sub]
-                e2 = E[:, 2 * sub:3 * sub]
-                zz = E[:, 3 * sub:4 * sub]
+                sl = slice(g * sub, (g + 1) * sub)
+                if vpu_e:
+                    # v5: the 4 affine channels as VPU broadcast-FMAs. The
+                    # K=3 dot runs the MXU at 3/128 occupancy (the array
+                    # streams a full 128-deep pass regardless), and Mosaic's
+                    # default f32 dot truncates operands to bf16 — the FMAs
+                    # are full-rate VPU work AND exact f32.
+                    xc = P[:, 0:1]                       # (TP, 1)
+                    yc = P[:, 1:2]
+                    a = A[0, :4, sl]                     # (4, sub) per coeff
+                    bb = A[1, :4, sl]
+                    cc = A[2, :4, sl]
+                    e0 = xc * a[0][None] + (yc * bb[0][None] + cc[0][None])
+                    e1 = xc * a[1][None] + (yc * bb[1][None] + cc[1][None])
+                    e2 = xc * a[2][None] + (yc * bb[2][None] + cc[2][None])
+                    zz = xc * a[3][None] + (yc * bb[3][None] + cc[3][None])
+                else:
+                    Ag = A[:, :4, sl]
+                    E = jnp.dot(P, Ag.reshape(3, 4 * sub),
+                                preferred_element_type=jnp.float32)
+                    e0 = E[:, 0 * sub:1 * sub]
+                    e1 = E[:, 1 * sub:2 * sub]
+                    e2 = E[:, 2 * sub:3 * sub]
+                    zz = E[:, 3 * sub:4 * sub]
                 m = jnp.minimum(jnp.minimum(e0, e1), e2)  # >= 0 iff covered
                 zc = jnp.where(m >= 0, zz, _BIG)          # (TP, sub)
                 gz = jnp.min(zc, axis=1, keepdims=True)   # (TP, 1)
@@ -382,7 +404,7 @@ def _pallas_visibility(order, counts, zlo_q, P, A, *, B, n_pix, T, chunk,
         flops=2 * B * n_pix * chunk * nch * 24 // 8,
         bytes_accessed=B * T * 96 * chunk + B * n_pix * 8,
         transcendentals=0)
-    use_v4 = (_kernel_v() >= 4 and bbase is not None
+    use_v4 = (_kernel_v() == 4 and bbase is not None
               and chunk % nsub == 0 and (chunk // nsub) % BLOCK == 0)
     if use_v4:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -452,7 +474,7 @@ def _pallas_visibility(order, counts, zlo_q, P, A, *, B, n_pix, T, chunk,
     )
     return pl.pallas_call(
         functools.partial(_raster_kernel, chunk=chunk, kmax=kmax, nch=nch,
-                          nsub=nsub),
+                          nsub=nsub, vpu_e=_kernel_v() == 5),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, n_pix, 1), jnp.float32),
                    jax.ShapeDtypeStruct((B, n_pix, 1), jnp.int32),
