@@ -117,9 +117,13 @@ def _kernel_v() -> int:
       balance may shift with chunk geometry.
     5: v3 loop structure but the 4 affine channels (3 edge functions + z)
       are evaluated as VPU broadcast-FMAs instead of the (TP,3)@(3,4·sub)
-      dot — the K=3 matmul runs the MXU at 3/128 occupancy, and Mosaic's
-      default f32 dot truncates operands to bf16 (PERF_NOTES session 5),
-      so the FMA form is exact f32 as well."""
+      dot. REJECTED on device (v5e 2026-08-20): recon 1.70 imgs/s vs 35.6
+      for v3, ~20x slower — Mosaic lowers the (TP,1)x(1,sub) broadcast
+      outer-products at catastrophic lane occupancy; the low-K MXU dot,
+      despite streaming a full 128-deep pass at 3/128 occupancy, is far
+      faster (and its default-precision bf16 truncation is harmless here:
+      edge signs and z-compares, not barycentric dets). Kept only as a
+      negative-result lever."""
     import os
     return int(os.environ.get("A3D_RASTER_V", "3"))
 

@@ -106,11 +106,18 @@ class BasePredictor(nn.Module):
                 and grid.res % 2 == 0 and grid.res >= 64):
             # band-sparse MLP sweep: exact values near the surface, coarse
             # interpolation elsewhere (`ops.dmtet.sdf_lattice_banded`)
+            # A3D_BAND_REMAT=0: trace-time bisect lever — run the banded
+            # sweep without jax.checkpoint (the cond-less residual set is
+            # ~5x smaller than the dense sweep's, so it can fit; used to
+            # separate remat-related device faults from the band itself)
+            import os
+            remat = (not self.is_initializing()
+                     and os.environ.get("A3D_BAND_REMAT") != "0")
             sdf, _ = dmtet.sdf_lattice_banded(
                 lambda p: self.get_sdf(p, feats=feats)[..., 0],
                 pos, grid.res, band_tau=shape.band_tau,
                 seg_cap=shape.band_seg_cap,
-                remat=not self.is_initializing())
+                remat=remat)
         else:
             sdf = self.get_sdf(pos, feats=feats)[..., 0]
         out = dmtet.marching_tets(pos, sdf, grid, v_cap, f_cap)

@@ -30,10 +30,19 @@ class ShapeConfig:
     # band-sparse lattice SDF evaluation (ops.dmtet.sdf_lattice_banded):
     # evaluate the MLP densely only within ±band_tau fine cells of the
     # coarse-interpolated surface; identical meshes for near-eikonal fields.
-    # OPT-IN: on v5e hardware the banded recon graph crashed the TPU worker
-    # (deterministic "kernel fault" inside the bench fori_loop at grid 128;
-    # the same graph passes single-dispatch) — r3 device A/Bs. Off until
-    # the fault is isolated; the dense sweep is the reference behavior.
+    # OPT-IN, and the TRAIN (grad) graph is DEAD ON DEVICE: every
+    # formulation tried faults/hangs the v5e worker at full-model scale —
+    # r3 scatter (unique_indices UB, faulted), r4 distinct-OOB scatter
+    # (still faulted), r4 gather-merge+remat (faults after the first step),
+    # r4 gather-merge no-remat (hangs >15 min, watchdog kill), while the
+    # isolated repro (scripts/debug_band_fault.py, same res/width/depth,
+    # grad through band+marching-tets) runs green — the trigger needs the
+    # full train graph around it and is unreproduced outside it.
+    # The EVAL/recon graph and CPU extraction are green (device-validated;
+    # grid-256 extraction 3.8x faster, meshes identical —
+    # scripts/compare_to_reference.py --ours-only). Use for
+    # inference/offline tooling only; training keeps the reference's dense
+    # sweep (`/root/reference/model/geometry/dmtet.py:294-310`).
     sparse_band_eval: bool = False
     band_tau: float = 4.0
     band_seg_cap: Optional[int] = None

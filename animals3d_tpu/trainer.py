@@ -103,6 +103,11 @@ def make_optimizer(model, params):
         # masked, e.g. Ponymation stage 1's base partition): flatten's
         # init would concatenate zero arrays — fall back to the plain
         # transform there (no leaves ⇒ no dispatch overhead either).
+        # A3D_NO_FLATTEN=1: trace-time bisect lever — plain per-leaf adam
+        # (device-fault A/Bs; the flattened form is the production default)
+        import os
+        if os.environ.get("A3D_NO_FLATTEN") == "1":
+            return tx
         flat = optax.flatten(tx)
 
         def init(params):
