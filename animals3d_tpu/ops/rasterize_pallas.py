@@ -121,9 +121,16 @@ def _kernel_v() -> int:
       for v3, ~20x slower — Mosaic lowers the (TP,1)x(1,sub) broadcast
       outer-products at catastrophic lane occupancy; the low-K MXU dot,
       despite streaming a full 128-deep pass at 3/128 occupancy, is far
-      faster (and its default-precision bf16 truncation is harmless here:
-      edge signs and z-compares, not barycentric dets). Kept only as a
-      negative-result lever."""
+      faster. The low-K dot's default-precision bf16 operand truncation
+      affects only edge signs and z-compares (never barycentric dets, which
+      are computed downstream from the f32 resolve path); the evidence that
+      this rounding is harmless is the measured v4-vs-v3 device A/B
+      (2026-08-19): winner buffers (fid AND z) bit-identical through the
+      same dot, and `tests/test_rasterize_pallas.py` device runs match the
+      f32 interpret oracle exactly on the stress meshes. bf16 CAN flip a
+      sign for pixels within ~2^-8 relative of an edge; those pixels are
+      inside the antialias blend band, where coverage is analytically
+      re-blended anyway. Kept only as a negative-result lever."""
     import os
     return int(os.environ.get("A3D_RASTER_V", "3"))
 

@@ -111,8 +111,17 @@ class BasePredictor(nn.Module):
             # ~5x smaller than the dense sweep's, so it can fit; used to
             # separate remat-related device faults from the band itself)
             import os
-            remat = (not self.is_initializing()
-                     and os.environ.get("A3D_BAND_REMAT") != "0")
+            _v = os.environ.get("A3D_BAND_REMAT")
+            if _v not in (None, "0", "1"):
+                # a mis-set lever mislabels a device-fault bisect arm and
+                # wastes a TPU run — fail loudly instead of guessing
+                raise ValueError(
+                    f"A3D_BAND_REMAT={_v!r}: must be '0', '1', or unset")
+            remat = (not self.is_initializing() and _v != "0")
+            if _v is not None and not self.is_initializing():
+                # self-identify the bisect arm at trace time
+                print(f"[banded-sweep] remat={'on' if remat else 'OFF'} "
+                      f"(A3D_BAND_REMAT={_v})", flush=True)
             sdf, _ = dmtet.sdf_lattice_banded(
                 lambda p: self.get_sdf(p, feats=feats)[..., 0],
                 pos, grid.res, band_tau=shape.band_tau,

@@ -103,8 +103,16 @@ def make_optimizer(model, params):
         # masked, e.g. Ponymation stage 1's base partition): flatten's
         # init would concatenate zero arrays — fall back to the plain
         # transform there (no leaves ⇒ no dispatch overhead either).
-        # A3D_NO_FLATTEN=1: trace-time bisect lever — plain per-leaf adam
-        # (device-fault A/Bs; the flattened form is the production default)
+        # A3D_NO_FLATTEN=1: bisect/A-B lever — plain per-leaf adam (the
+        # flattened form is the production default). Two caveats: (1) the
+        # optimizer-STATE pytrees differ (raveled vector vs per-leaf), so a
+        # checkpoint saved under one form cannot restore under the other —
+        # pick one form for a run's lifetime; (2) the env var is read HERE,
+        # when make_optimizer is called — flipping it later in the process
+        # has no effect (run each A/B arm in its own process, or rebuild
+        # the optimizer per arm as bench.py's BENCH_AB does). The two forms
+        # are update-equivalent to f32 tolerance
+        # (tests/test_config.py::test_flattened_adam_equals_per_leaf).
         import os
         if os.environ.get("A3D_NO_FLATTEN") == "1":
             return tx

@@ -20,7 +20,27 @@ conservative. Derivation details in BASELINE.md.
 Also reports achieved TFLOP/s and MFU vs the v5e peak (197 bf16 TFLOP/s)
 for both the recon and train paths.
 
-Env: BENCH_TINY=1 shrinks shapes for CPU smoke runs.
+Measurement protocol (run-to-run tunnel contention is ±30%; PERF_NOTES
+session-3/8): every timed number is the MEDIAN of `BENCH_REPEATS` (default
+8) individually-timed dispatches, each amortizing K iterations inside one
+jit with unique inputs. The JSON carries median + min + the full per-repeat
+list + spread ((max-min)/median); spread > 15% sets `"contended": true` —
+treat such runs as unreliable for <30% comparisons.
+
+Interleaved A/B mode — the only trustworthy way to adjudicate a lever on
+this tunnel: `BENCH_AB="VAR=a|b"` traces/compiles every graph twice (env
+var VAR set to `a` then `b` before each trace — all levers are read at
+trace time), then ALTERNATES timed dispatches arm-A/arm-B so contention
+hits both arms equally, and reports per-arm stats + the paired median
+delta in an extra JSON line. Empty value = unset ("A3D_NO_ZSKIP=|1" = off
+vs on). Train A/B gives each arm its own params/opt_state copy (donation)
+and reports each arm's final loss. BENCH_AB_SAMEKEYS=1 feeds both arms
+identical rng/batch sequences (exact loss comparability for optimizer
+A/Bs) — only safe when the two graphs differ, else the remote result
+cache can serve arm B from arm A's entries.
+
+Env: BENCH_TINY=1 shrinks shapes for CPU smoke runs. BENCH_SKIP_RECON=1
+skips the recon graph (compile-heavy) for train-focused A/Bs.
 """
 from __future__ import annotations
 
@@ -44,6 +64,7 @@ REF_A100_IMGS_PER_SEC_FALLBACK = 10.0   # used only if cost_analysis fails
 # — is fixed. Non-default BENCH_CONFIGs fall back to the live number.
 DENSE_RECON_GFLOPS_PER_IMG = 65.7
 DENSE_TRAIN_GFLOPS_PER_STEP_B10 = 2678.7
+CONTENTION_SPREAD = 0.15
 
 
 def _flops_of(compiled) -> float:
@@ -60,6 +81,48 @@ def _flops_of(compiled) -> float:
         return float(ca.get("flops", 0.0))
     except Exception:
         return 0.0
+
+
+def _stats(ts_s):
+    """Per-repeat dispatch times (s) -> dict of ms stats (median-first)."""
+    ms = np.asarray(sorted(1000.0 * t for t in ts_s))
+    med = float(np.median(ms))
+    spread = float((ms[-1] - ms[0]) / med) if med > 0 else 0.0
+    return {
+        "median_ms": med,
+        "min_ms": float(ms[0]),
+        "max_ms": float(ms[-1]),
+        "spread": spread,
+        "contended": spread > CONTENTION_SPREAD,
+        "reps_ms": [round(float(x), 1) for x in ms],
+        "n": int(ms.size),
+    }
+
+
+def _parse_ab():
+    """BENCH_AB="VAR=a|b" -> [(VAR, a), (VAR, b)] or [None] (single arm)."""
+    ab = os.environ.get("BENCH_AB", "")
+    if not ab:
+        return [None]
+    var, _, vals = ab.partition("=")
+    if "|" not in vals:
+        raise SystemExit(f"BENCH_AB must be VAR=a|b, got {ab!r}")
+    va, vb = vals.split("|", 1)
+    return [(var, va), (var, vb)]
+
+
+def _set_arm(arm):
+    if arm is None:
+        return
+    var, val = arm
+    if val == "":
+        os.environ.pop(var, None)
+    else:
+        os.environ[var] = val
+
+
+def _arm_name(arm):
+    return "default" if arm is None else f"{arm[0]}={arm[1] or '<unset>'}"
 
 
 def main():
@@ -89,6 +152,8 @@ def main():
     enable_compilation_cache()
 
     tiny = os.environ.get("BENCH_TINY") == "1"
+    arms = _parse_ab()
+    samekeys = os.environ.get("BENCH_AB_SAMEKEYS") == "1"
 
     from animals3d_tpu import config as cfglib
     from animals3d_tpu.models import build_model
@@ -104,13 +169,18 @@ def main():
             "model.cfg_predictor_base.cfg_dino.feature_dim=4",
             "dataset.dino_feature_dim=4",
         ]
-        batch, iters, warmup = 2, 3, 1
+        batch, warmup = 2, 1
+        reps = int(os.environ.get("BENCH_REPEATS", "3"))
     else:
-        # training-phase grid (coarse 128); full 256 nets
-        overrides = ["dataset.batch_size=10"]
-        batch, iters, warmup = 10, 6, 2
+        # training-phase grid (coarse 128); full 256 nets.
+        # BENCH_BATCH overrides the batch (batch-scaling studies); the
+        # default 10 mirrors the reference train config.
+        batch = int(os.environ.get("BENCH_BATCH", "10"))
+        overrides = [f"dataset.batch_size={batch}"]
+        warmup = 2
+        reps = int(os.environ.get("BENCH_REPEATS", "8"))
     # A/B lever: BENCH_OVERRIDES="k=v k=v" appends config overrides
-    # (pair with A3D_NO_ZSKIP / A3D_NO_MXU_BWD env toggles for kernel A/Bs);
+    # (pair with BENCH_AB env toggles for kernel A/Bs);
     # BENCH_CONFIG switches the run config (e.g. train_fauna)
     extra = os.environ.get("BENCH_OVERRIDES", "").split()
     overrides += extra
@@ -189,38 +259,62 @@ def main():
                             .astype(np.float32)) for _ in range(8)]
     for x in fresh:
         jax.block_until_ready(x)
-    imgs_per_sec = compile_s = 0.0
+    imgs_per_sec = 0.0
+    recon_stats = [None] * len(arms)
+    recon_compile_s = [0.0] * len(arms)
     recon_tflops = recon_mfu = 0.0
     recon_flops_per_img = recon_flops_raw = 0.0
     if do_recon:
-        t0 = time.time()
-        recon_compiled = recon_jit.lower(params, images, rng, grid).compile()
-        _ = float(recon_compiled(params, images, rng, grid))
-        compile_s = time.time() - t0
-        recon_flops_raw = _flops_of(recon_compiled) / (K * batch * F)
+        recon_exec = []
+        for a, arm in enumerate(arms):
+            _set_arm(arm)
+            t0 = time.time()
+            c = recon_jit.lower(params, images, rng, grid).compile()
+            _ = float(c(params, images, rng, grid))
+            recon_compile_s[a] = time.time() - t0
+            recon_exec.append(c)
+        recon_flops_raw = _flops_of(recon_exec[0]) / (K * batch * F)
         recon_flops_per_img = recon_flops_raw
         if os.environ.get("BENCH_CONFIG", "train_magicpony_horse") == \
-                "train_magicpony_horse" and not tiny:
+                "train_magicpony_horse" and not tiny and batch == 10:
             recon_flops_per_img = DENSE_RECON_GFLOPS_PER_IMG * 1e9
         for i in range(warmup):
-            _ = float(recon_compiled(params, fresh[i % 8],
-                                     jax.random.PRNGKey(100 + i), grid))
-        t0 = time.time()
-        for i in range(iters):
-            _ = float(recon_compiled(params, fresh[i % 8],
-                                     jax.random.PRNGKey(i), grid))
-        dt = time.time() - t0
-        imgs_per_sec = batch * F * iters * K / dt
+            for a, c in enumerate(recon_exec):
+                _ = float(c(params, fresh[(i * len(arms) + a) % 8],
+                            jax.random.PRNGKey(100 + i * 2 + a), grid))
+        # interleaved timed dispatches: arm order A,B,A,B,… so tunnel /
+        # chip contention hits both arms equally (paired samples)
+        rts = [[] for _ in arms]
+        for i in range(reps):
+            for a, c in enumerate(recon_exec):
+                key = jax.random.PRNGKey(i) if (samekeys or len(arms) == 1) \
+                    else jax.random.fold_in(jax.random.PRNGKey(i), a)
+                t0 = time.time()
+                _ = float(c(params, fresh[(i * len(arms) + a) % 8],
+                            key, grid))
+                rts[a].append(time.time() - t0)
+        recon_stats = [_stats(ts) for ts in rts]
+        s0 = recon_stats[0]
+        imgs_per_sec = batch * F * K / (s0["median_ms"] / 1000.0)
         recon_tflops = recon_flops_per_img * imgs_per_sec / 1e12
         recon_mfu = recon_tflops / V5E_PEAK_BF16_TFLOPS
 
         print(f"[bench] device={jax.devices()[0].device_kind} "
-              f"compile={compile_s:.1f}s recon {imgs_per_sec:.2f} imgs/s "
-              f"({dt / (iters * K) * 1000:.1f} ms/batch{batch}, "
-              f"K={K}/dispatch) "
+              f"compile={recon_compile_s[0]:.1f}s recon "
+              f"{imgs_per_sec:.2f} imgs/s "
+              f"(median {s0['median_ms'] / K:.1f} ms/batch{batch}, "
+              f"min {s0['min_ms'] / K:.1f}, spread {s0['spread']:.0%}, "
+              f"n={s0['n']}, K={K}/dispatch) "
               f"{recon_flops_per_img / 1e9:.1f} GF/img "
               f"{recon_tflops:.2f} TF/s MFU={recon_mfu * 100:.1f}%",
               file=sys.stderr)
+        if len(arms) == 2:
+            sA, sB = recon_stats
+            d = (sB["median_ms"] - sA["median_ms"]) / sA["median_ms"]
+            print(f"[bench] recon A/B {_arm_name(arms[0])} vs "
+                  f"{_arm_name(arms[1])}: median {sA['median_ms']:.1f} vs "
+                  f"{sB['median_ms']:.1f} ms/dispatch ({d:+.1%} B vs A)",
+                  file=sys.stderr)
 
     # ---- training step (fwd+bwd+optimizer): the actual workload -----------
     import optax
@@ -228,67 +322,101 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _fake_batch
 
-    optimizer = make_optimizer(model, params)
-    opt_state = optimizer.init(params)
     tbatch = _fake_batch(model, batch)
 
     # KT steps per dispatch (fori_loop over donated state, batch varied per
     # step so nothing folds) — same tunnel-overhead amortization as recon
     KT = 3 if not tiny else 2
 
-    def train_step(carry, i, tbatch, rng, grid):
-        params, opt_state, acc = carry
-        b2 = jax.tree.map(
-            lambda x: x + i.astype(x.dtype) * 1e-6
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, tbatch)
-        (loss, _aux), grads = jax.value_and_grad(
-            model.forward, has_aux=True)(
-                params, b2, IT, jax.random.fold_in(rng, i), phase, grid)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, acc + loss
+    # per-arm executables + state (donated, so each arm owns a params copy)
+    train_exec, train_states, train_compile_s = [], [], []
+    train_flops_raw = 0.0
+    for a, arm in enumerate(arms):
+        _set_arm(arm)
+        optimizer = make_optimizer(model, params)
 
-    # tbatch AND grid must be jit ARGUMENTS: closed over, their arrays get
-    # baked into the StableHLO as constant literals (measured: 90 MB module
-    # — 51 MB of it grid.verts alone — vs 0.8 MB for recon), bloating the
-    # remote compile service round-trip
-    def train_many(params, opt_state, tbatch, rng, grid):
-        return lax.fori_loop(
-            0, KT, lambda i, c: train_step(c, i, tbatch, rng, grid),
-            (params, opt_state, 0.0))
+        def train_step(carry, i, tbatch, rng, grid, optimizer=optimizer):
+            params, opt_state, acc = carry
+            b2 = jax.tree.map(
+                lambda x: x + i.astype(x.dtype) * 1e-6
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, tbatch)
+            (loss, _aux), grads = jax.value_and_grad(
+                model.forward, has_aux=True)(
+                    params, b2, IT, jax.random.fold_in(rng, i), phase, grid)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, acc + loss
 
-    jstep = jax.jit(train_many, donate_argnums=(0, 1))
-    t0 = time.time()
-    tcompiled = jstep.lower(params, opt_state, tbatch,
-                            jax.random.PRNGKey(1), grid).compile()
-    train_flops_raw = _flops_of(tcompiled) / KT
+        # tbatch AND grid must be jit ARGUMENTS: closed over, their arrays
+        # get baked into the StableHLO as constant literals (measured: 90 MB
+        # module — 51 MB of it grid.verts alone — vs 0.8 MB for recon),
+        # bloating the remote compile service round-trip
+        def train_many(params, opt_state, tbatch, rng, grid,
+                       train_step=train_step):
+            return lax.fori_loop(
+                0, KT, lambda i, c: train_step(c, i, tbatch, rng, grid),
+                (params, opt_state, 0.0))
+
+        p = params if len(arms) == 1 else jax.tree.map(jnp.array, params)
+        opt_state = optimizer.init(p)
+        jstep = jax.jit(train_many, donate_argnums=(0, 1))
+        t0 = time.time()
+        tc = jstep.lower(p, opt_state, tbatch,
+                         jax.random.PRNGKey(1), grid).compile()
+        if a == 0:
+            train_flops_raw = _flops_of(tc) / KT
+        p, opt_state, loss = tc(p, opt_state, tbatch,
+                                jax.random.PRNGKey(1), grid)
+        jax.block_until_ready(loss)
+        train_compile_s.append(time.time() - t0)
+        train_exec.append(tc)
+        train_states.append((p, opt_state))
+
     train_flops_per_step = train_flops_raw
     if os.environ.get("BENCH_CONFIG", "train_magicpony_horse") == \
             "train_magicpony_horse" and not tiny and batch == 10:
         train_flops_per_step = DENSE_TRAIN_GFLOPS_PER_STEP_B10 * 1e9
-    params, opt_state, loss = tcompiled(params, opt_state, tbatch,
-                                        jax.random.PRNGKey(1), grid)
-    jax.block_until_ready(loss)
-    tcompile = time.time() - t0
+
     for i in range(warmup):
-        params, opt_state, loss = tcompiled(params, opt_state, tbatch,
-                                            jax.random.PRNGKey(2 + i), grid)
-        float(loss)
-    t0 = time.time()
-    for i in range(iters):
-        params, opt_state, loss = tcompiled(params, opt_state, tbatch,
-                                            jax.random.PRNGKey(100 + i), grid)
-        float(loss)
-    tdt = (time.time() - t0) / (iters * KT)
+        for a, tc in enumerate(train_exec):
+            p, o = train_states[a]
+            p, o, loss = tc(p, o, tbatch, jax.random.PRNGKey(2 + i), grid)
+            float(loss)
+            train_states[a] = (p, o)
+    tts = [[] for _ in arms]
+    train_loss = [0.0] * len(arms)
+    for i in range(reps):
+        for a, tc in enumerate(train_exec):
+            key = jax.random.PRNGKey(100 + i) if (samekeys or len(arms) == 1) \
+                else jax.random.fold_in(jax.random.PRNGKey(100 + i), a)
+            p, o = train_states[a]
+            t0 = time.time()
+            p, o, loss = tc(p, o, tbatch, key, grid)
+            train_loss[a] = float(loss) / KT
+            tts[a].append(time.time() - t0)
+            train_states[a] = (p, o)
+    train_stats = [_stats(ts) for ts in tts]
+    t0s = train_stats[0]
+    tdt = t0s["median_ms"] / 1000.0 / KT          # median per-step seconds
     train_imgs = batch * F / tdt
     train_tflops = train_flops_per_step / tdt / 1e12
     train_mfu = train_tflops / V5E_PEAK_BF16_TFLOPS
-    print(f"[bench] train step {tdt * 1000:.1f} ms/b{batch} "
-          f"-> {train_imgs:.2f} imgs/s (compile {tcompile:.1f}s, "
-          f"loss {float(loss) / KT:.3f}) "
+    print(f"[bench] train step {tdt * 1000:.1f} ms/b{batch} (median, "
+          f"min {t0s['min_ms'] / KT:.1f}, spread {t0s['spread']:.0%}, "
+          f"n={t0s['n']}) "
+          f"-> {train_imgs:.2f} imgs/s (compile {train_compile_s[0]:.1f}s, "
+          f"loss {train_loss[0]:.3f}) "
           f"{train_flops_per_step / 1e9:.1f} GF/step "
           f"{train_tflops:.2f} TF/s MFU={train_mfu * 100:.1f}%",
           file=sys.stderr)
+    if len(arms) == 2:
+        sA, sB = train_stats
+        d = (sB["median_ms"] - sA["median_ms"]) / sA["median_ms"]
+        print(f"[bench] train A/B {_arm_name(arms[0])} vs "
+              f"{_arm_name(arms[1])}: median {sA['median_ms'] / KT:.1f} vs "
+              f"{sB['median_ms'] / KT:.1f} ms/step ({d:+.1%} B vs A); "
+              f"loss {train_loss[0]:.4f} vs {train_loss[1]:.4f}",
+              file=sys.stderr)
 
     # derived A100 denominator: same per-image FLOPs at generous ref MFU
     if recon_flops_per_img > 0:
@@ -300,6 +428,31 @@ def main():
         ref_a100 = REF_A100_IMGS_PER_SEC_FALLBACK
         denom_note = "fallback constant (cost_analysis unavailable)"
 
+    # A/B result line (diagnostic; never the headline)
+    if len(arms) == 2:
+        sA, sB = train_stats
+        rec = {}
+        if do_recon and recon_stats[0] is not None:
+            rA, rB = recon_stats
+            rec = {"recon_median_ms_a": round(rA["median_ms"], 1),
+                   "recon_median_ms_b": round(rB["median_ms"], 1),
+                   "recon_delta_b_vs_a":
+                       round((rB["median_ms"] - rA["median_ms"])
+                             / rA["median_ms"], 4)}
+        print(json.dumps({
+            "metric": f"ab_{os.environ.get('BENCH_AB')}",
+            "arm_a": _arm_name(arms[0]), "arm_b": _arm_name(arms[1]),
+            "train_median_ms_a": round(sA["median_ms"] / KT, 1),
+            "train_median_ms_b": round(sB["median_ms"] / KT, 1),
+            "train_delta_b_vs_a":
+                round((sB["median_ms"] - sA["median_ms"])
+                      / sA["median_ms"], 4),
+            "train_reps_ms_a": [round(x / KT, 1) for x in sA["reps_ms"]],
+            "train_reps_ms_b": [round(x / KT, 1) for x in sB["reps_ms"]],
+            "loss_a": round(train_loss[0], 6), "loss_b": round(train_loss[1], 6),
+            "samekeys": samekeys, **rec,
+        }))
+
     # train-step metric line — ALWAYS emitted (regressions must be visible
     # to the driver); the LAST line stays the headline metric it parses
     cfg_name = os.environ.get("BENCH_CONFIG", "train_magicpony_horse")
@@ -309,14 +462,20 @@ def main():
         "unit": "imgs/s/chip",
         "vs_baseline": 0.0,
         "train_step_ms": round(tdt * 1000, 1),
+        "train_step_ms_min": round(t0s["min_ms"] / KT, 1),
+        "train_step_ms_reps": [round(x / KT, 1) for x in t0s["reps_ms"]],
+        "train_spread": round(t0s["spread"], 3),
+        "train_contended": t0s["contended"],
+        "train_loss": round(train_loss[0], 4),
         "train_batch": batch,
         "train_gflops_per_step": round(train_flops_per_step / 1e9, 1),
         "train_gflops_raw_cost_analysis": round(train_flops_raw / 1e9, 1),
         "train_tflops_per_sec": round(train_tflops, 2),
         "train_mfu_v5e": round(train_mfu, 4),
-        "compile_s": round(tcompile, 1),
+        "compile_s": round(train_compile_s[0], 1),
     }))
     if do_recon:
+        s0 = recon_stats[0]
         print(json.dumps({
             "metric": "single_image_recon_256_imgs_per_sec_per_chip"
             if not tiny else "single_image_recon_tiny_imgs_per_sec",
@@ -325,10 +484,16 @@ def main():
             "vs_baseline": round(imgs_per_sec / ref_a100, 3),
             "ref_a100_imgs_per_sec": round(ref_a100, 2),
             "ref_denominator": denom_note,
+            "recon_batch_ms": round(s0["median_ms"] / K, 1),
+            "recon_batch_ms_min": round(s0["min_ms"] / K, 1),
+            "recon_batch_ms_reps": [round(x / K, 1) for x in s0["reps_ms"]],
+            "recon_spread": round(s0["spread"], 3),
+            "recon_contended": s0["contended"],
             "recon_gflops_per_img": round(recon_flops_per_img / 1e9, 2),
             "recon_gflops_raw_cost_analysis": round(recon_flops_raw / 1e9, 2),
             "recon_tflops_per_sec": round(recon_tflops, 2),
             "recon_mfu_v5e": round(recon_mfu, 4),
+            "compile_s": round(recon_compile_s[0], 1),
             "train_step_ms": round(tdt * 1000, 1),
             "train_imgs_per_sec": round(train_imgs, 3),
             "train_batch": batch,
