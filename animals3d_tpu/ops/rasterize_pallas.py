@@ -671,7 +671,7 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
                                              "interpret"))
 def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
                      resolution: tuple[int, int], num_faces=None,
-                     chunk: int = 1024, interpret: bool = False,
+                     chunk: int | None = None, interpret: bool = False,
                      fv_clip: jax.Array | None = None,
                      fv_rows: jax.Array | None = None) -> Rast:
     """fv_clip: optional pre-gathered `v_clip[faces]` (B, F, 3, 4) — lets the
@@ -680,6 +680,12 @@ def rasterize_pallas(v_clip: jax.Array, faces: jax.Array, f_valid: jax.Array,
     tab = concat([v_pos, v_clip], -1) transposed to (V, B*7) — enables the
     struct-of-arrays fast path (see _rasterize_pallas_T)."""
     height, width = resolution
+    if chunk is None:
+        # A3D_CHUNK: trace-time A/B lever for the face-chunk granularity
+        # (fewer, larger chunks = fewer loop iterations / DMA waits but
+        # coarser bbox culling; chunk sweep history in PERF_NOTES)
+        import os
+        chunk = int(os.environ.get("A3D_CHUNK", "1024"))
     if fv_rows is not None:
         return _rasterize_pallas_T(v_clip, faces, f_valid, resolution,
                                    chunk, interpret, fv_rows)

@@ -90,6 +90,59 @@ class BasePredictor(nn.Module):
     def dino_field(self, pts, feats=None):
         return self.netDINO(pts, feats)
 
+    # ---- fused lattice sweep ---------------------------------------------
+    def _use_fused_sweep(self) -> bool:
+        """Gate for the fused Pallas netSDF sweep (`ops.fused_mlp`): the
+        unconditional 256-wide CoordMLP only (MagicPony/Ponymation prior;
+        Fauna's mod-demod conditional SDF keeps the flax path), and never
+        during init (params must be created by the flax modules).
+        A3D_FUSED_SDF=0 opts out (trace-time lever for device A/Bs)."""
+        import os
+        shape = self.cfg.cfg_shape
+        return (os.environ.get("A3D_FUSED_SDF", "1") != "0"
+                and self.condition_choice != "mod"
+                and not self.is_initializing()
+                and shape.num_layers >= 2
+                and shape.hidden_size == 256)
+
+    def _fused_sdf_sweep(self, pos):
+        """`get_sdf(pos)[..., 0]` with the MLP trunk evaluated by the fused
+        Pallas kernel — same symmetrize / harmonic-embed / init-bias math
+        (`dmtet.py:228-255`), activations never written to HBM."""
+        from animals3d_tpu.networks.mlp import harmonic_embedding
+        from animals3d_tpu.ops import fused_mlp
+        shape = self.cfg.cfg_shape
+        pts_in = jnp.concatenate(
+            [jnp.abs(pos[..., :1]), pos[..., 1:]], -1) \
+            if shape.symmetrize else pos
+        if shape.embedder_freq > 0:
+            scalar = 2 * np.pi / shape.spatial_scale * 0.9
+            e = harmonic_embedding(pts_in, shape.embedder_freq, scalar)
+            if shape.embed_concat_pts:
+                e = jnp.concatenate([pts_in, e], -1)
+        else:
+            e = pts_in
+        params = self.variables["params"]["netSDF"]
+        if not fused_mlp.coordmlp_sweep_params_ok(params, shape.num_layers):
+            return self.get_sdf(pos)[..., 0]
+        sdf = fused_mlp.mlp_sweep(params, e, num_layers=shape.num_layers)
+
+        init = shape.init_sdf
+        if init is None:
+            pass
+        elif isinstance(init, (int, float)):
+            sdf = sdf + init
+        elif init == "sphere":
+            sdf = sdf + (shape.spatial_scale * 0.25
+                         - jnp.linalg.norm(pos, axis=-1))
+        elif init == "ellipsoid":
+            scaled = jnp.concatenate([pos[..., :2], pos[..., 2:] / 2], -1)
+            sdf = sdf + (shape.spatial_scale * 0.15
+                         - jnp.linalg.norm(scaled, axis=-1))
+        else:
+            raise NotImplementedError(init)
+        return sdf
+
     # ---- prior mesh -------------------------------------------------------
     def get_prior_mesh(self, grid: DeviceTetGrid, v_cap: int, f_cap: int,
                        total_iter=0, jitter_rng=None, feats=None):
@@ -127,6 +180,8 @@ class BasePredictor(nn.Module):
                 pos, grid.res, band_tau=shape.band_tau,
                 seg_cap=shape.band_seg_cap,
                 remat=remat)
+        elif self._use_fused_sweep():
+            sdf = self._fused_sdf_sweep(pos)
         else:
             sdf = self.get_sdf(pos, feats=feats)[..., 0]
         out = dmtet.marching_tets(pos, sdf, grid, v_cap, f_cap)
