@@ -103,18 +103,27 @@ def _bwd_kernel(*refs, L: int, cd):
     # add to dW4's padded columns is dropped by `jnp.pad`'s VJP upstream.
     g = g_ref[...]                                   # (TB, 1) f32
     d = jnp.broadcast_to(g.astype(cd), (g.shape[0], LANES))
+
+    def relu_mask(da_f32, a):
+        # mask in f32: Mosaic rejects bf16 packed-vector compares ("Target
+        # does not support this comparison", v5e 2026-08-20); truncation
+        # preserves the sign so the f32 compare of the bf16 activation is
+        # the same mask
+        return jnp.where(a.astype(jnp.float32) > 0, da_f32,
+                         jnp.zeros((), jnp.float32)).astype(cd)
+
     for li in range(L - 1, -1, -1):
         # z_li = a_li @ W_li ; d = d_z_li
         dw_refs[li][...] += _dot(acts[li], d, cd, dn=((0,), (0,)))
         if li == 0:
             break
-        da = _dot(d, w_refs[li][...], cd, dn=((1,), (1,))).astype(cd)
-        d = da * (acts[li] > 0).astype(cd)
+        da = _dot(d, w_refs[li][...], cd, dn=((1,), (1,)))
+        d = relu_mask(da, acts[li])
     # through in_layer: d_zin = (d_a0) ⊙ (a0>0)
-    da = _dot(d, w_refs[0][...], cd, dn=((1,), (1,))).astype(cd)
-    d = da * (acts[0] > 0).astype(cd)
+    da = _dot(d, w_refs[0][...], cd, dn=((1,), (1,)))
+    d = relu_mask(da, acts[0])
     dwin_ref[...] += _dot(e, d, cd, dn=((0,), (0,)))
-    db_ref[...] += jnp.sum(d, axis=0, keepdims=True).astype(jnp.float32)
+    db_ref[...] += jnp.sum(d.astype(jnp.float32), axis=0, keepdims=True)
 
 
 def _pad_rows(x, nb, tb):

@@ -96,10 +96,18 @@ class BasePredictor(nn.Module):
         unconditional 256-wide CoordMLP only (MagicPony/Ponymation prior;
         Fauna's mod-demod conditional SDF keeps the flax path), and never
         during init (params must be created by the flax modules).
-        A3D_FUSED_SDF=0 opts out (trace-time lever for device A/Bs)."""
+
+        DEFAULT OFF — measured NEGATIVE on device (v5e 2026-08-20,
+        interleaved A/B, n=8 paired reps): recon +3.5% (275.2 → 284.9
+        ms/b10), train +3.9% (435.2 → 452.0 ms/step). The bf16 XLA dense
+        sweep already runs the 256-wide dot chain at high MXU efficiency
+        and XLA's fusion hides most inter-layer HBM traffic; the kernel's
+        per-block casts/DMA bookkeeping (+ bwd recompute FLOPs) cost more
+        than the residual traffic it saves. Kept as A3D_FUSED_SDF=1 for
+        re-evaluation at other widths/depths (PERF_NOTES session 9)."""
         import os
         shape = self.cfg.cfg_shape
-        return (os.environ.get("A3D_FUSED_SDF", "1") != "0"
+        return (os.environ.get("A3D_FUSED_SDF", "0") == "1"
                 and self.condition_choice != "mod"
                 and not self.is_initializing()
                 and shape.num_layers >= 2
