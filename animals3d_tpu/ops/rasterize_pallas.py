@@ -495,6 +495,178 @@ def _pallas_visibility(order, counts, zlo_q, P, A, *, B, n_pix, T, chunk,
     )(order, counts, zlo_q, P, A)
 
 
+def _raster_kernel_v6(cnt_ref, zs_ref, pix_ref, S_hbm, A_hbm, z_ref, id_ref,
+                      won_ref, sbuf, abuf, sem, sem2, *, S: int, chunk: int,
+                      nch: int, nsub: int):
+    """v6: DENSE per-tile unit lists — iteration restructure of v3.
+
+    XLA-side prep compacts, per (image, tile), the z-sorted list of
+    128-face *units* (sub-blocks) whose bboxes overlap the tile, and
+    GATHERS their coefficient slabs into a (B, T, S, 3, 8, sub) array.
+    The kernel then walks a dense array: no SMEM chunk ids, no per-sub-
+    block `pl.when` masks — every iteration is one slab DMA + one
+    (TP,3)@(3,4·sub) dot + winner update. v3 spent ~1.6 µs per LIVE
+    sub-block with ~58% of sub-block visits masked off (r4 trace); here
+    every visit is live and the per-chunk loop bookkeeping (SMEM entry
+    decode, took scratch, m8 shifts) is gone.
+
+    Tiles whose unit count exceeds S fall back to a full scan over all
+    chunks (second loop, v3 math without masks) — same degradation
+    contract as v3's kmax overflow. Winner/tiebreak semantics identical
+    to v3: front-to-back z-sorted visit order + occlusion early-out
+    (strict `>` on floor-quantized z-min), masked-min winner with
+    original-id tiebreak."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    T = pl.num_programs(1)
+
+    z_ref[...] = jnp.full_like(z_ref, _BIG)
+    id_ref[...] = jnp.zeros_like(id_ref)
+    won_ref[...] = jnp.zeros_like(won_ref)
+    kwid = won_ref.shape[-1]
+    sub = chunk // nsub
+
+    n = cnt_ref[b, i]
+    dense = n <= S
+    nd = jnp.where(dense, n, 0)
+
+    def dma_s(slot, k):
+        # slab rows are (3, 8, sub) contiguous — one descriptor per unit
+        return pltpu.make_async_copy(
+            S_hbm.at[b, i, k], sbuf.at[slot], sem.at[slot])
+
+    for kpre in range(NBUF):
+        @pl.when(kpre < nd)
+        def _(kpre=kpre):
+            dma_s(kpre, kpre).start()
+
+    P = pix_ref[0]                                    # (TP, 3)
+
+    def unit_math(A, sl_ids):
+        """Coverage + winner update for one (3, 8, sub) coeff slab.
+        Returns 1.0 iff any pixel provisionally took a face."""
+        E = jnp.dot(P, A[:, :4].reshape(3, 4 * sub),
+                    preferred_element_type=jnp.float32)
+        e0 = E[:, 0 * sub:1 * sub]
+        e1 = E[:, 1 * sub:2 * sub]
+        e2 = E[:, 2 * sub:3 * sub]
+        zz = E[:, 3 * sub:4 * sub]
+        m = jnp.minimum(jnp.minimum(e0, e1), e2)
+        zc = jnp.where(m >= 0, zz, _BIG)              # (TP, sub)
+        gz = jnp.min(zc, axis=1, keepdims=True)       # (TP, 1)
+        gid = jnp.min(jnp.where(zc <= gz, sl_ids[None, :], _BIG),
+                      axis=1, keepdims=True)
+        zr = z_ref[0]
+        gi = gid.astype(jnp.int32) + 1
+        take = (gz < zr) | ((gz == zr) & (zr < _BIG) & (gi < id_ref[0]))
+        z_ref[0] = jnp.where(take, gz, zr)
+        id_ref[0] = jnp.where(take, gi, id_ref[0])
+        return jnp.max(jnp.where(take, 1.0, 0.0))
+
+    def body(k, _):
+        slot = k % NBUF
+        dma_s(slot, k).wait()
+        A = sbuf[slot]                                # (3, 8, sub)
+        # occlusion early-out: units arrive front-to-back (per-image
+        # z-sorted axis); a unit behind every pixel's winner can't take
+        live = zs_ref[(b * T + i) * S + k] <= _zq(jnp.max(z_ref[0]))
+
+        @pl.when(live)
+        def _():
+            anyf = unit_math(A, A[2, 4])
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, kwid), 1)
+            won_ref[0, 0] = won_ref[0, 0] | \
+                jnp.where((anyf > 0) & (lane == k), 1, 0)
+
+        @pl.when(k + NBUF < nd)
+        def _():
+            dma_s(slot, k + NBUF).start()
+        return 0
+
+    jax.lax.fori_loop(0, nd, body, 0)
+
+    # ---- overflow fallback: full scan over every chunk (rare) ------------
+    nf = jnp.where(dense, 0, nch)
+
+    def dma_c(slot, k):
+        return pltpu.make_async_copy(
+            A_hbm.at[b, k], abuf.at[slot], sem2.at[slot])
+
+    for kpre in range(NBUF):
+        @pl.when(kpre < nf)
+        def _(kpre=kpre):
+            dma_c(kpre, kpre).start()
+
+    def cbody(k, _):
+        slot = k % NBUF
+        dma_c(slot, k).wait()
+        A = abuf[slot]                                # (3, 8, chunk)
+        for g in range(nsub):
+            sl = slice(g * sub, (g + 1) * sub)
+            unit_math(A[:, :, sl], A[2, 4, sl])
+
+        @pl.when(k + NBUF < nf)
+        def _():
+            dma_c(slot, k + NBUF).start()
+        return 0
+
+    jax.lax.fori_loop(0, nf, cbody, 0)
+
+    @pl.when(~dense)
+    def _():
+        # conservative winner flags; the XLA side substitutes the bbox
+        # overlap row for overflow tiles (same contract as v3 kmax)
+        won_ref[0, 0] = jnp.ones_like(won_ref[0, 0])
+
+
+def _pallas_visibility_v6(counts, zs, P, slabs, A, *, B, n_pix, T, S,
+                          chunk, nch, nsub, interpret):
+    kwid = -(-max(S, 1) // 128) * 128
+    sub = chunk // nsub
+    cost = pl.CostEstimate(
+        flops=2 * B * T * S * TP * 4 * sub,
+        bytes_accessed=B * T * S * 96 * sub + B * n_pix * 8,
+        transcendentals=0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,            # counts (B,T) + unit z-min flat
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, TP, 3),
+                         lambda b, i, cnt, zs: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),    # slabs in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),    # chunk A (fallback)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TP, 1),
+                         lambda b, i, cnt, zs: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP, 1),
+                         lambda b, i, cnt, zs: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, kwid),
+                         lambda b, i, cnt, zs: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, 3, 8, sub), jnp.float32),
+            pltpu.VMEM((NBUF, 3, 8, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_raster_kernel_v6, S=S, chunk=chunk, nch=nch,
+                          nsub=nsub),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, n_pix, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, n_pix, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((B, T, 8, kwid), jnp.int32)],
+        interpret=interpret,
+        cost_estimate=cost,
+    )(counts, zs, P, slabs, A)
+
+
 def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
                         fv_rows):
     """Struct-of-arrays fast path (used by render_mesh via `fv_rows`).
@@ -619,6 +791,52 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     m8 = (ov_sub.astype(jnp.int32)
           << jnp.arange(nsub, dtype=jnp.int32)).sum(-1)        # (B, T, nch)
     overlap = m8 > 0
+    if _kernel_v() == 6 and chunk % nsub == 0 and nsub > 1:
+        from animals3d_tpu.ops.dmtet import first_geq
+        U = nch * nsub
+        ovu = ov_sub.reshape(B, T, U)
+        # per-unit (sub-block) quantized z-min for front-to-back order +
+        # the in-kernel occlusion early-out
+        zu = _zq(jnp.where(ok, min3(z0, z1, z2), _BIG)
+                 .reshape(B, U, sub).min(-1))                  # (B, U)
+        if _no_zskip():
+            zu = jnp.full_like(zu, -2**31)
+        zperm = jnp.argsort(zu, axis=-1, stable=True).astype(jnp.int32)
+        ovz = jnp.take_along_axis(ovu, zperm[:, None, :], -1)  # (B, T, U)
+        csum = jnp.cumsum(ovz.astype(jnp.int32), -1)
+        counts6 = csum[..., -1]                                # (B, T)
+        import os
+        S = max(1, min(128, U, int(os.environ.get("A3D_V6_CAP", "128"))))
+        tgt = jnp.arange(1, S + 1, dtype=jnp.int32)
+        pos = jax.vmap(lambda r: first_geq(r, tgt))(
+            csum.reshape(B * T, U))                            # (B·T, S)
+        posc = jnp.minimum(pos, U - 1).reshape(B, T, S)
+        zpermB = jnp.broadcast_to(zperm[:, None, :], (B, T, U))
+        unit = jnp.take_along_axis(zpermB, posc, -1)           # (B, T, S)
+        # unit-contiguous coeff layout + per-(tile,slot) slab gather
+        A8u = A8.reshape(B, nch, 3, 8, nsub, sub) \
+            .transpose(0, 1, 4, 2, 3, 5).reshape(B, U, 3, 8, sub)
+        slabs = jax.vmap(lambda a, idx: a[idx])(
+            A8u, unit.reshape(B, T * S)).reshape(B, T, S, 3, 8, sub)
+        zs = jnp.take_along_axis(
+            jnp.broadcast_to(zu[:, None, :], (B, T, U)), posc, -1) \
+            .reshape(B * T * S)
+        z, fid, wonk = _pallas_visibility_v6(
+            counts6, zs, P, slabs, A8, B=B, n_pix=n_pix, T=T, S=S,
+            chunk=chunk, nch=nch, nsub=nsub, interpret=interpret)
+        z = _untile(z, B, nty, ntx)
+        fid = _untile(fid, B, nty, ntx)
+        z = jnp.where(fid > 0, z, 0.0)
+        uv = compute_barycentrics(v_clip, faces, fid, (height, width))
+        flat6 = (jnp.arange(B * T, dtype=jnp.int32)[:, None] * nch
+                 + (unit // nsub).reshape(B * T, S)).reshape(-1)
+        won = jnp.zeros((B * T * nch,), jnp.int32) \
+            .at[flat6].max(wonk[:, :, 0, :S].reshape(-1),
+                           mode="drop").reshape(B, T, nch) > 0
+        won = jnp.where((counts6 <= S)[..., None], won, overlap) & overlap
+        bw_aux = (orig.reshape(nch, chunk).astype(jnp.int32), won)
+        return Rast(uv=uv, z=z, face_id=fid, bw_aux=bw_aux)
+
     # conservative per-chunk depth bound (min vertex NDC z over valid
     # faces) for front-to-back list order + the in-kernel occlusion skip
     zlo_q = _zq(jnp.where(ok, min3(z0, z1, z2), _BIG)

@@ -127,6 +127,12 @@ def _arm_name(arm):
 
 def main():
     import jax
+    # BENCH_CPU=1: force the CPU backend IN-PROCESS. The JAX_PLATFORMS env
+    # var does NOT work here — the axon sitecustomize registers its TPU
+    # backend and wins — so an env-var-only "cpu" run silently claims the
+    # tunnel and serializes against real device work.
+    if os.environ.get("BENCH_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
     # the axon tunnel, when down, makes jax.devices() hang FOREVER at the
     # device claim (observed: multi-hour outage). Probe it in a subprocess
     # with a timeout so the driver gets a clear failure line, not a hang.
@@ -315,6 +321,41 @@ def main():
                   f"{_arm_name(arms[1])}: median {sA['median_ms']:.1f} vs "
                   f"{sB['median_ms']:.1f} ms/dispatch ({d:+.1%} B vs A)",
                   file=sys.stderr)
+
+    # BENCH_SKIP_TRAIN=1: recon-only run (halves the compile bill of
+    # recon-focused A/Bs; the recon JSON line is still emitted last)
+    if do_recon and os.environ.get("BENCH_SKIP_TRAIN") == "1":
+        if recon_flops_per_img > 0:
+            ref_a100 = (A100_PEAK_BF16_TFLOPS * 1e12 * REF_ASSUMED_MFU
+                        / recon_flops_per_img)
+        else:
+            ref_a100 = REF_A100_IMGS_PER_SEC_FALLBACK
+        if len(arms) == 2:
+            rA, rB = recon_stats
+            print(json.dumps({
+                "metric": f"ab_{os.environ.get('BENCH_AB')}",
+                "arm_a": _arm_name(arms[0]), "arm_b": _arm_name(arms[1]),
+                "recon_median_ms_a": round(rA["median_ms"] / K, 1),
+                "recon_median_ms_b": round(rB["median_ms"] / K, 1),
+                "recon_delta_b_vs_a":
+                    round((rB["median_ms"] - rA["median_ms"])
+                          / rA["median_ms"], 4),
+                "recon_reps_ms_a": [round(x / K, 1) for x in rA["reps_ms"]],
+                "recon_reps_ms_b": [round(x / K, 1) for x in rB["reps_ms"]],
+            }))
+        s0 = recon_stats[0]
+        print(json.dumps({
+            "metric": "single_image_recon_256_imgs_per_sec_per_chip"
+            if not tiny else "single_image_recon_tiny_imgs_per_sec",
+            "value": round(imgs_per_sec, 3), "unit": "imgs/s/chip",
+            "vs_baseline": round(imgs_per_sec / ref_a100, 3),
+            "recon_batch_ms": round(s0["median_ms"] / K, 1),
+            "recon_batch_ms_min": round(s0["min_ms"] / K, 1),
+            "recon_spread": round(s0["spread"], 3),
+            "recon_contended": s0["contended"],
+            "compile_s": round(recon_compile_s[0], 1),
+        }))
+        return
 
     # ---- training step (fwd+bwd+optimizer): the actual workload -----------
     import optax

@@ -288,3 +288,89 @@ def test_pallas_depth_stack_early_out_parity():
                              interpret=True, fv_rows=tab[f])
     np.testing.assert_array_equal(np.asarray(got_t.face_id),
                                   np.asarray(ref.face_id))
+
+
+def test_pallas_v6_dense_lists_parity(monkeypatch):
+    """v6 (dense per-tile unit lists + gathered slabs) parity vs the XLA
+    path on the fv_rows fast path, including the overflow fallback
+    (A3D_V6_CAP=2 forces count > S for interior tiles)."""
+    from animals3d_tpu.ops.rasterize_pallas import rasterize_pallas as rp
+    rng = np.random.default_rng(7)
+    B, V, Fn = 2, 48, 40
+    v = rng.uniform(-0.9, 0.9, (B, V, 3)).astype(np.float32)
+    w = rng.uniform(2, 4, (B, V, 1)).astype(np.float32)
+    v_clip = jnp.asarray(np.concatenate([v * w, w], -1))
+    v_pos = jnp.asarray(rng.normal(size=(B, V, 3)).astype(np.float32))
+    faces = jnp.asarray(rng.integers(0, V, (Fn, 3)).astype(np.int32))
+    f_valid = np.ones(Fn, bool)
+    f_valid[5] = False
+    f_valid = jnp.asarray(f_valid)
+    tab = jnp.concatenate([v_pos, v_clip], -1).transpose(1, 0, 2) \
+        .reshape(V, B * 7)
+    fvr = tab[faces]
+    ref = rz.rasterize(v_clip, faces, f_valid, (32, 32), chunk=8)
+
+    def run():
+        rp.clear_cache()          # env levers are trace-time; force retrace
+        return rp(v_clip, faces, f_valid, (32, 32), chunk=8,
+                  interpret=True, fv_rows=fvr)
+
+    for cap in ("128", "2"):      # dense path, then overflow fallback
+        monkeypatch.setenv("A3D_RASTER_V", "6")
+        monkeypatch.setenv("A3D_V6_CAP", cap)
+        got = run()
+        fa, fb = np.asarray(ref.face_id), np.asarray(got.face_id)
+        np.testing.assert_array_equal(fa > 0, fb > 0)
+        assert (fa == fb).mean() > 0.99, f"cap={cap}"
+        m = fa > 0
+        np.testing.assert_allclose(np.asarray(got.z)[m],
+                                   np.asarray(ref.z)[m], atol=1e-4)
+        # winner-chunk flags stay a superset of true winners (resolve
+        # kernels rely on this): every winning chunk must be flagged
+        ids_sorted, won = got.bw_aux
+        fid = np.asarray(got.face_id)
+        srt = np.asarray(ids_sorted)      # (nch, chunk) original ids
+        wonr = np.asarray(won)            # (B, T, nch)
+        nty, ntx = 2, 1                   # 32/16, 32/32 tiles
+        for b in range(B):
+            for fidv in np.unique(fid[b])[1:]:
+                ch = int(np.argwhere(srt == fidv - 1)[0][0])
+                ys, xs = np.nonzero(fid[b] == fidv)
+                for y, x in zip(ys[:3], xs[:3]):
+                    t = (y // 16) * ntx + (x // 32)
+                    assert wonr[b, t, ch], (b, fidv, t, ch, cap)
+    monkeypatch.delenv("A3D_RASTER_V", raising=False)
+    monkeypatch.delenv("A3D_V6_CAP", raising=False)
+    rp.clear_cache()
+
+
+def test_pallas_v6_depth_stack(monkeypatch):
+    """v6 under the occlusion/exact-z-tie stress stack."""
+    from animals3d_tpu.ops.rasterize_pallas import rasterize_pallas as rp
+    quads, faces = [], []
+    depths = [1.0, 1.0] + [1.0 + 0.2 * i for i in range(1, 8)]
+    for qi, z in enumerate(depths):
+        i0 = 4 * qi
+        s = 1.0 if qi != 3 else 0.3
+        quads += [[-s, -s, z], [s, -s, z], [s, s, z], [-s, s, z]]
+        faces += [[i0, i0 + 1, i0 + 2], [i0, i0 + 2, i0 + 3]]
+    v = np.asarray(quads, np.float32)[None]
+    w = np.full((1, v.shape[1], 1), 2.0, np.float32)
+    v_clip = jnp.asarray(np.concatenate([v * w, w], -1))
+    f = jnp.asarray(np.asarray(faces, np.int32))
+    f_valid = jnp.ones((f.shape[0],), bool)
+    ref = rz.rasterize(v_clip, f, f_valid, (32, 32), chunk=2)
+    tab = jnp.concatenate([jnp.asarray(v), v_clip], -1).transpose(1, 0, 2) \
+        .reshape(v.shape[1], 7)
+    monkeypatch.setenv("A3D_RASTER_V", "6")
+    monkeypatch.setenv("A3D_NSUB", "2")   # chunk=2: v6 needs nsub>1
+    rp.clear_cache()
+    got = rp(v_clip, f, f_valid, (32, 32), chunk=2, interpret=True,
+             fv_rows=tab[f])
+    np.testing.assert_array_equal(np.asarray(got.face_id),
+                                  np.asarray(ref.face_id))
+    np.testing.assert_allclose(np.asarray(got.z), np.asarray(ref.z),
+                               atol=1e-5)
+    assert set(np.unique(np.asarray(got.face_id))) <= {1, 2}
+    monkeypatch.delenv("A3D_RASTER_V", raising=False)
+    rp.clear_cache()
