@@ -130,7 +130,19 @@ def _kernel_v() -> int:
       f32 interpret oracle exactly on the stress meshes. bf16 CAN flip a
       sign for pixels within ~2^-8 relative of an edge; those pixels are
       inside the antialias blend band, where coverage is analytically
-      re-blended anyway. Kept only as a negative-result lever."""
+      re-blended anyway. Kept only as a negative-result lever.
+    6: DENSE per-tile unit lists (`_raster_kernel_v6`): XLA-side z-sorted
+      compaction + slab gather, kernel walks a dense array with zero
+      mask branches. Device interleaved A/B (v5e 2026-08-20, n=8 paired):
+      recon 277.8 → 285.8 ms/b10 (+2.9%) — REJECTED as default. Verdict:
+      v3's ~1.6 µs per live sub-block is the (TP,3)@(3,4·sub) dot + VPU
+      reductions THEMSELVES, not loop/branch overhead (v4 "neutral" said
+      the same from the layout side); removing every branch and SMEM
+      decode just re-pays the cost as slab-gather traffic. The kernel is
+      compute-bound at ~8.2M face-slot visits/launch; only finer-than-
+      sub-block culling could cut that, and at this mesh's Morton
+      screen-compactness the live-slot count is already within ~2x of
+      the per-face-tile interaction floor. Kept as a lever."""
     import os
     return int(os.environ.get("A3D_RASTER_V", "3"))
 
