@@ -316,7 +316,7 @@ def resolve(attr: jax.Array, rast: Rast, v_clip: jax.Array,
                 pf, sel.reshape(B, H * W), lax.stop_gradient(ids_sorted),
                 lax.stop_gradient(won), (H, W))
         else:
-            rows_all = jax.vmap(lambda p, s: p[s.reshape(-1)])(pf, sel)
+            rows_all = _row_gather(pf, sel.reshape(pf.shape[0], -1))
 
     def one(rT):
         # ALL barycentric math on pixel-minor arrays: channel-minor layouts
@@ -421,7 +421,41 @@ def _resolve_rows_hybrid(pf, sel, ids_sorted, won, resolution):
     background pixels out downstream and guarantee their cotangent is
     exactly zero (`resolve` does via its keep mask), or the fwd/bwd pair
     is inconsistent at face 0."""
-    return jax.vmap(lambda p, s: p[s])(pf, sel)
+    return _row_gather(pf, sel)
+
+
+def _row_gather(pf, sel):
+    """One row of pf per pixel. A3D_PF_FLAT=1 gathers from a FLAT (B, F·R)
+    view — REJECTED on device, kept as a negative-result lever.
+
+    Motivation: the r5 device trace caught XLA layout-assigning pf to
+    F-MINOR ({1,2,0} — cheap to BUILD from the (F,3,B,C) transpose), so
+    each pixel row read is R strided cache lines (62.7 ns/row = 41 ms per
+    step in both graphs) with a transposed output layout that
+    `optimization_barrier` cannot prevent (barriers stop fusion, not
+    layout assignment). A 1-D operand has no layout freedom, forcing
+    row-contiguous pf and contiguous 192 B slices.
+    Measured (v5e 2026-08-20, interleaved A/B n=8): recon +3.0% (the
+    gather is DESCRIPTOR-issue-bound, ~60 ns/row regardless of stride,
+    and the forced pf relayout adds cost) and train +377% (430 → 2050
+    ms/step — the linear-layout pf collides with the bwd d_pf layout
+    chain and XLA inserts massive relayouts). The strided F-minor gather
+    is the right global layout choice; the per-pixel row gather is at its
+    descriptor floor — fewer rows (foreground compaction), not cheaper
+    rows, is the only remaining lever."""
+    import os
+    if os.environ.get("A3D_PF_FLAT", "0") != "1":
+        return jax.vmap(lambda p, s: p[s])(pf, sel)
+    B, F, R = pf.shape
+    pfF = pf.reshape(B, F * R)
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+
+    def g1(p, s):
+        return lax.gather(p, (s * R)[:, None], dn, slice_sizes=(R,),
+                          mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+    return jax.vmap(g1)(pfF, sel)
 
 
 def _rrh_fwd(pf, sel, ids_sorted, won, resolution):
