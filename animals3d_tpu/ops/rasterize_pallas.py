@@ -700,17 +700,26 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     F = faces.shape[0]
     Fp = -(-F // chunk) * chunk
     n_pix = height * width
-    fvr = jax.lax.stop_gradient(fv_rows).reshape(F, 3, B, 7)
+    # keep the face table 2-D (Fp, 3·B·7) end-to-end: the old 4-D
+    # (F, 3, B, 7) form was materialized TWICE in T(8,128) tiling with a
+    # (B, 7)-minor pair (r5 device trace: reshape.10189 4.0 ms +
+    # reshape.10190 5.2 ms + copy.3873 3.5 ms per recon iter) — the pad,
+    # the Morton permute gather, and the channel transpose all run on
+    # merged rows instead, with ONE materialized relayout at the end
+    # (same pattern as render.py's face-normal fvT, session-3 playbook)
+    fvr = jax.lax.stop_gradient(fv_rows).reshape(F, 3 * B * 7)
     if Fp != F:
         fvr = jnp.concatenate(
-            [fvr, jnp.zeros((Fp - F, 3, B, 7), fvr.dtype)], 0)
+            [fvr, jnp.zeros((Fp - F, 3 * B * 7), fvr.dtype)], 0)
         f_valid = jnp.concatenate(
             [f_valid, jnp.zeros((Fp - F,), bool)], 0)
 
     # ---- shared block order: 3-D Morton of batch-0 world centroids --------
     blk = min(BLOCK, chunk)
     nblk = Fp // blk
-    ctr = fvr[:, :, 0, :3].mean(1)                   # (Fp, 3) — tiny
+    # batch-0 world xyz per vertex = three contiguous 3-column slices
+    ctr = (fvr[:, 0:3] + fvr[:, B * 7:B * 7 + 3]
+           + fvr[:, 2 * B * 7:2 * B * 7 + 3]) / 3.0  # (Fp, 3) — tiny
     bval = f_valid.reshape(nblk, blk)
     nb = jnp.maximum(bval.sum(1), 1)[:, None]
     c = (ctr.reshape(nblk, blk, 3)
@@ -725,7 +734,7 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     perm = jnp.argsort(key, stable=True).astype(jnp.int32)   # (nblk,)
     orig = (perm[:, None] * blk
             + jnp.arange(blk, dtype=jnp.int32)).reshape(Fp)  # sorted → orig
-    fvr = fvr.reshape(nblk, -1)[perm].reshape(Fp, 3, B, 7)
+    fvr = fvr.reshape(nblk, -1)[perm].reshape(Fp, 3 * B * 7)
     fval = f_valid[orig]
 
     # ---- face coefficients, minor-F ---------------------------------------
@@ -734,10 +743,29 @@ def _rasterize_pallas_T(v_clip, faces, f_valid, resolution, chunk, interpret,
     # ONE materialized relayout with Fp minor. Without it, XLA leaves the
     # channel dim minor and every per-channel slice is a ~47 MB strided
     # read + retiling copy (4 slices measured ~85 ms total in the trace).
-    fvM = fvr.transpose(2, 3, 1, 0).reshape(B, 21, Fp)
+    # DEFAULT: the 4-D route — materialize (Fp,3,B,7), transpose to
+    # (B,21,Fp), slice channels (the session-3 merge trick). The "purer"
+    # alternative (A3D_FVR_2D=1: keep merged (Fp,210) rows end-to-end,
+    # one (210,Fp) transpose, leading-dim channel views) measured WORSE
+    # in the interleaved device A/B (v5e 2026-08-20, n=8 paired): recon
+    # +3.3%, train +11.6% (421.8 → 470.7 ms/step) — the full transpose of
+    # the 661 MB table plus read-amplified strided ctr slices cost more
+    # than the two 4-D materializations they replace, and XLA schedules
+    # the 4-D copies better against the rest of the graph. Negative
+    # lever kept; trace lines it targeted: reshape.10189/10190,
+    # copy.3873 (~13 ms/recon iter).
+    import os
+    if os.environ.get("A3D_FVR_2D") == "1":
+        fvM = fvr.transpose(1, 0).reshape(3, B, 7, Fp)
 
-    def chv(c, vtx):
-        return fvM[:, c * 3 + vtx]                   # (B, Fp), minor Fp
+        def chv(c, vtx):
+            return fvM[vtx, :, c]                    # (B, Fp), minor Fp
+    else:
+        fvM4 = fvr.reshape(Fp, 3, B, 7).transpose(2, 3, 1, 0) \
+            .reshape(B, 21, Fp)
+
+        def chv(c, vtx):
+            return fvM4[:, c * 3 + vtx]              # (B, Fp), minor Fp
 
     sw0 = jnp.where(jnp.abs(chv(6, 0)) > 1e-9, chv(6, 0), 1e-9)
     sw1 = jnp.where(jnp.abs(chv(6, 1)) > 1e-9, chv(6, 1), 1e-9)
