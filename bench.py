@@ -28,16 +28,20 @@ list + spread ((max-min)/median); spread > 15% sets `"contended": true` —
 treat such runs as unreliable for <30% comparisons.
 
 Interleaved A/B mode — the only trustworthy way to adjudicate a lever on
-this tunnel: `BENCH_AB="VAR=a|b"` traces/compiles every graph twice (env
-var VAR set to `a` then `b` before each trace — all levers are read at
-trace time), then ALTERNATES timed dispatches arm-A/arm-B so contention
-hits both arms equally, and reports per-arm stats + the paired median
-delta in an extra JSON line. Empty value = unset ("A3D_NO_ZSKIP=|1" = off
-vs on). Train A/B gives each arm its own params/opt_state copy (donation)
-and reports each arm's final loss. BENCH_AB_SAMEKEYS=1 feeds both arms
-identical rng/batch sequences (exact loss comparability for optimizer
-A/Bs) — only safe when the two graphs differ, else the remote result
-cache can serve arm B from arm A's entries.
+this tunnel: `BENCH_AB="VAR=a|b"` builds FOUR executables in XYYX order
+(env var VAR set per arm before each trace — all levers are read at trace
+time; same-HLO rebuilds hit the persistent cache) and interleaves timed
+dispatches across all four, pooling two mirrored-creation-order slots per
+arm. The XYYX scheme exists because A/A controls measured a reproducible
+~+2.6-2.8% penalty tracking executable CREATION order (identical graphs,
+any dispatch order) — a plain A,B scheme biases every verdict by ~+3%
+against B. Per-arm stats + the paired median delta go to an extra JSON
+line. Empty value = unset ("A3D_NO_ZSKIP=|1" = off vs on). Train A/B
+gives each slot its own params/opt_state copy (donation) and reports each
+arm's final loss. BENCH_AB_SAMEKEYS=1 feeds both arms identical
+rng/batch sequences (exact loss comparability for optimizer A/Bs) — only
+safe when the two graphs differ, else the remote result cache can serve
+arm B from arm A's entries.
 
 Env: BENCH_TINY=1 shrinks shapes for CPU smoke runs. BENCH_SKIP_RECON=1
 skips the recon graph (compile-heavy) for train-focused A/Bs.
@@ -270,14 +274,35 @@ def main():
     recon_compile_s = [0.0] * len(arms)
     recon_tflops = recon_mfu = 0.0
     recon_flops_per_img = recon_flops_raw = 0.0
+    # A/B executable slots, XYYX-counterbalanced: A/A controls measured a
+    # reproducible ~+2.6-2.8% penalty tracking the ORDER executables are
+    # created in (identical graphs, both plain and ABBA dispatch orders —
+    # v5e 2026-08-20), so each arm gets TWO executables at mirrored
+    # creation positions (A,B,B,A; same-HLO recompiles hit the persistent
+    # cache) and its samples pool across both. Single-arm runs keep one.
+    # …and the FIRST-created executable of a process runs measurably
+    # faster than all later ones (A/A per-arm pools stayed +2.5% under
+    # XYYX; arm-A samples were bimodal — slot-0 ~7% below slots 1-3), so
+    # A/B runs compile a BURN-IN executable first that is never timed.
+    slots = [0, 1, 1, 0] if len(arms) == 2 else [0]
     if do_recon:
         recon_exec = []
-        for a, arm in enumerate(arms):
-            _set_arm(arm)
+        burn = None
+        if len(arms) == 2:
+            _set_arm(arms[0])
+            # kept ALIVE through the timed loop: deleting it frees its
+            # (first-allocated) buffers and the next executable inherits
+            # the advantaged placement — A/A showed slot 0 ~7% faster
+            # whenever the burn-in was deleted before the timed compiles
+            burn = recon_jit.lower(params, images, rng, grid).compile()
+            _ = float(burn(params, images, rng, grid))
+        for s, a in enumerate(slots):
+            _set_arm(arms[a])
             t0 = time.time()
             c = recon_jit.lower(params, images, rng, grid).compile()
             _ = float(c(params, images, rng, grid))
-            recon_compile_s[a] = time.time() - t0
+            if s == a or len(slots) == 1:
+                recon_compile_s[a] = time.time() - t0
             recon_exec.append(c)
         recon_flops_raw = _flops_of(recon_exec[0]) / (K * batch * F)
         recon_flops_per_img = recon_flops_raw
@@ -285,20 +310,39 @@ def main():
                 "train_magicpony_horse" and not tiny and batch == 10:
             recon_flops_per_img = DENSE_RECON_GFLOPS_PER_IMG * 1e9
         for i in range(warmup):
-            for a, c in enumerate(recon_exec):
-                _ = float(c(params, fresh[(i * len(arms) + a) % 8],
-                            jax.random.PRNGKey(100 + i * 2 + a), grid))
-        # interleaved timed dispatches: arm order A,B,A,B,… so tunnel /
-        # chip contention hits both arms equally (paired samples)
+            for s, a in enumerate(slots):
+                _ = float(recon_exec[s](
+                    params, fresh[(i * len(slots) + s) % 8],
+                    jax.random.PRNGKey(100 + i * 4 + s), grid))
+        # interleaved timed dispatches over the XYYX slots, ROTATING the
+        # starting slot each repeat: A/A controls showed a persistent
+        # ~20 ms advantage for the first dispatch of each rep group (the
+        # burn-in executable did NOT absorb it), and rotation is the only
+        # scheme that neutralizes it regardless of whether the cause is
+        # rep-position or executable identity — the advantaged position
+        # cycles A,B,B,A over repeats
         rts = [[] for _ in arms]
+        rts_slot = [[] for _ in slots]
         for i in range(reps):
-            for a, c in enumerate(recon_exec):
+            for j in range(len(slots)):
+                s = (i + j) % len(slots)
+                a = slots[s]
                 key = jax.random.PRNGKey(i) if (samekeys or len(arms) == 1) \
-                    else jax.random.fold_in(jax.random.PRNGKey(i), a)
+                    else jax.random.fold_in(jax.random.PRNGKey(i), s)
+                # ONE buffer per rep for ALL slots: per-slot diagnostics
+                # (A/A #7) traced the residual arm bias to the INPUT
+                # buffer identity — the 8 pre-staged `fresh` buffers
+                # differ by ±4% recon time (HBM placement), and the
+                # (i·L+s)%8 assignment gave each slot only 2 of the 8,
+                # correlating buffer quality with arm. Same buffer per
+                # rep ⇒ the buffer effect cancels exactly in the paired
+                # delta (keys still differ per slot — no result-cache
+                # aliasing).
                 t0 = time.time()
-                _ = float(c(params, fresh[(i * len(arms) + a) % 8],
-                            key, grid))
-                rts[a].append(time.time() - t0)
+                _ = float(recon_exec[s](params, fresh[i % 8], key, grid))
+                dt_s = time.time() - t0
+                rts[a].append(dt_s)
+                rts_slot[s].append(dt_s)
         recon_stats = [_stats(ts) for ts in rts]
         s0 = recon_stats[0]
         imgs_per_sec = batch * F * K / (s0["median_ms"] / 1000.0)
@@ -342,6 +386,8 @@ def main():
                           / rA["median_ms"], 4),
                 "recon_reps_ms_a": [round(x / K, 1) for x in rA["reps_ms"]],
                 "recon_reps_ms_b": [round(x / K, 1) for x in rB["reps_ms"]],
+                "recon_slot_ms": [
+                    [round(1000 * x / K, 1) for x in sl] for sl in rts_slot],
             }))
         s0 = recon_stats[0]
         print(json.dumps({
@@ -369,10 +415,18 @@ def main():
     # step so nothing folds) — same tunnel-overhead amortization as recon
     KT = 3 if not tiny else 2
 
-    # per-arm executables + state (donated, so each arm owns a params copy)
-    train_exec, train_states, train_compile_s = [], [], []
+    # per-SLOT executables + state (donated, so each slot owns a params
+    # copy); slots are XYYX-counterbalanced — see the recon comment
+    slots = [0, 1, 1, 0] if len(arms) == 2 else [0]
+    train_exec, train_states, train_compile_s = [], [], [0.0] * len(arms)
     train_flops_raw = 0.0
-    for a, arm in enumerate(arms):
+    # burn-in executable (see recon comment): (None, 0) compiles arm 0's
+    # graph once, runs one dispatch, and is discarded untimed
+    slot_plan = list(enumerate(slots))
+    if len(arms) == 2:
+        slot_plan = [(None, 0)] + slot_plan
+    for s, a in slot_plan:
+        arm = arms[a]
         _set_arm(arm)
         optimizer = make_optimizer(model, params)
 
@@ -398,18 +452,22 @@ def main():
                 0, KT, lambda i, c: train_step(c, i, tbatch, rng, grid),
                 (params, opt_state, 0.0))
 
-        p = params if len(arms) == 1 else jax.tree.map(jnp.array, params)
+        p = params if len(slots) == 1 else jax.tree.map(jnp.array, params)
         opt_state = optimizer.init(p)
         jstep = jax.jit(train_many, donate_argnums=(0, 1))
         t0 = time.time()
         tc = jstep.lower(p, opt_state, tbatch,
                          jax.random.PRNGKey(1), grid).compile()
-        if a == 0:
+        if s == 0 or (s is None and len(arms) == 2):
             train_flops_raw = _flops_of(tc) / KT
         p, opt_state, loss = tc(p, opt_state, tbatch,
                                 jax.random.PRNGKey(1), grid)
         jax.block_until_ready(loss)
-        train_compile_s.append(time.time() - t0)
+        if s is None:        # burn-in: never timed, kept alive (see recon)
+            _burn_keep = (tc, p, opt_state)   # noqa: F841
+            continue
+        if s == a or len(slots) == 1:
+            train_compile_s[a] = time.time() - t0
         train_exec.append(tc)
         train_states.append((p, opt_state))
 
@@ -419,23 +477,27 @@ def main():
         train_flops_per_step = DENSE_TRAIN_GFLOPS_PER_STEP_B10 * 1e9
 
     for i in range(warmup):
-        for a, tc in enumerate(train_exec):
-            p, o = train_states[a]
+        for s, tc in enumerate(train_exec):
+            p, o = train_states[s]
             p, o, loss = tc(p, o, tbatch, jax.random.PRNGKey(2 + i), grid)
             float(loss)
-            train_states[a] = (p, o)
+            train_states[s] = (p, o)
     tts = [[] for _ in arms]
     train_loss = [0.0] * len(arms)
     for i in range(reps):
-        for a, tc in enumerate(train_exec):
+        # XYYX slot interleave with rotated start — see the recon comment
+        for j in range(len(slots)):
+            s = (i + j) % len(slots)
+            a = slots[s]
+            tc = train_exec[s]
             key = jax.random.PRNGKey(100 + i) if (samekeys or len(arms) == 1) \
                 else jax.random.fold_in(jax.random.PRNGKey(100 + i), a)
-            p, o = train_states[a]
+            p, o = train_states[s]
             t0 = time.time()
             p, o, loss = tc(p, o, tbatch, key, grid)
             train_loss[a] = float(loss) / KT
             tts[a].append(time.time() - t0)
-            train_states[a] = (p, o)
+            train_states[s] = (p, o)
     train_stats = [_stats(ts) for ts in tts]
     t0s = train_stats[0]
     tdt = t0s["median_ms"] / 1000.0 / KT          # median per-step seconds
