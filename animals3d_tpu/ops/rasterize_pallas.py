@@ -133,16 +133,19 @@ def _kernel_v() -> int:
       re-blended anyway. Kept only as a negative-result lever.
     6: DENSE per-tile unit lists (`_raster_kernel_v6`): XLA-side z-sorted
       compaction + slab gather, kernel walks a dense array with zero
-      mask branches. Device interleaved A/B (v5e 2026-08-20, n=8 paired):
-      recon 277.8 → 285.8 ms/b10 (+2.9%) — REJECTED as default. Verdict:
-      v3's ~1.6 µs per live sub-block is the (TP,3)@(3,4·sub) dot + VPU
-      reductions THEMSELVES, not loop/branch overhead (v4 "neutral" said
-      the same from the layout side); removing every branch and SMEM
-      decode just re-pays the cost as slab-gather traffic. The kernel is
-      compute-bound at ~8.2M face-slot visits/launch; only finer-than-
-      sub-block culling could cut that, and at this mesh's Morton
-      screen-compactness the live-slot count is already within ~2x of
-      the per-face-tile interaction floor. Kept as a lever."""
+      mask branches. NEUTRAL on device: −0.7% recon on the A/A-certified
+      harness (v5e 2026-08-20; an earlier +2.9% reading was traced to
+      input-buffer harness bias, PERF_NOTES session 9). Verdict stands
+      on the bracketing: v3's ~1.6 µs per live sub-block is the
+      (TP,3)@(3,4·sub) dot + VPU reductions THEMSELVES, not loop/branch
+      overhead (v4 "neutral" said the same from the layout side) —
+      removing every branch and SMEM decode re-pays the cost as
+      slab-gather traffic, ±1%. The kernel is compute-bound at ~8.2M
+      face-slot visits/launch; only finer-than-sub-block culling could
+      cut that, and at this mesh's Morton screen-compactness the
+      live-slot count is already within ~2x of the per-face-tile
+      interaction floor. v3 stays default (no win, simpler memory
+      profile); lever kept."""
     import os
     return int(os.environ.get("A3D_RASTER_V", "3"))
 
