@@ -91,23 +91,30 @@ class BasePredictor(nn.Module):
         return self.netDINO(pts, feats)
 
     # ---- fused lattice sweep ---------------------------------------------
-    def _use_fused_sweep(self) -> bool:
+    def _use_fused_sweep(self, training: bool = False) -> bool:
         """Gate for the fused Pallas netSDF sweep (`ops.fused_mlp`): the
         unconditional 256-wide CoordMLP only (MagicPony/Ponymation prior;
         Fauna's mod-demod conditional SDF keeps the flax path), and never
         during init (params must be created by the flax modules).
 
-        DEFAULT OFF — measured NEGATIVE on device (v5e 2026-08-20,
-        interleaved A/B, n=8 paired reps): recon +3.5% (275.2 → 284.9
-        ms/b10), train +3.9% (435.2 → 452.0 ms/step). The bf16 XLA dense
-        sweep already runs the 256-wide dot chain at high MXU efficiency
-        and XLA's fusion hides most inter-layer HBM traffic; the kernel's
-        per-block casts/DMA bookkeeping (+ bwd recompute FLOPs) cost more
-        than the residual traffic it saves. Kept as A3D_FUSED_SDF=1 for
-        re-evaluation at other widths/depths (PERF_NOTES session 9)."""
+        DEFAULT: ON for TRAINING (jittered sweeps), OFF for eval/recon.
+        Verdict history (PERF_NOTES session 9): the first interleaved
+        device A/Bs read recon +3.5% / train +3.9% and the kernel was
+        default-off — but A/A forensics then exposed two harness biases
+        (input-buffer placement ~+2.6% on recon arms; donated-STATE
+        placement +10.6-10.9% on train arms). On the debiased harness the
+        fused TRAIN path measures **−4.5% (447.1 → 426.9 ms/step b10,
+        ~−20 ms — the custom-VJP recompute keeps the 5× (N,256) autodiff
+        residuals out of HBM)**, while recon stays ~neutral (+~1%
+        bias-corrected; the fwd-only graph has no residuals to save), so
+        eval keeps the flax sweep. A3D_FUSED_SDF=0 forces off everywhere,
+        =1 forces on everywhere (both trace-time)."""
         import os
+        lever = os.environ.get("A3D_FUSED_SDF")
+        if lever == "0":
+            return False
         shape = self.cfg.cfg_shape
-        return (os.environ.get("A3D_FUSED_SDF", "0") == "1"
+        return ((training or lever == "1")
                 and self.condition_choice != "mod"
                 and not self.is_initializing()
                 and shape.num_layers >= 2
@@ -188,7 +195,7 @@ class BasePredictor(nn.Module):
                 pos, grid.res, band_tau=shape.band_tau,
                 seg_cap=shape.band_seg_cap,
                 remat=remat)
-        elif self._use_fused_sweep():
+        elif self._use_fused_sweep(training=jitter_rng is not None):
             sdf = self._fused_sdf_sweep(pos)
         else:
             sdf = self.get_sdf(pos, feats=feats)[..., 0]

@@ -483,8 +483,31 @@ def main():
             float(loss)
             train_states[s] = (p, o)
     tts = [[] for _ in arms]
+    tts_slot = [[] for _ in slots]
     train_loss = [0.0] * len(arms)
+    # Train A/A forensics (PERF_NOTES session 9): with per-slot donated
+    # state copies, arm bias reached +10.6-10.9% on IDENTICAL graphs and
+    # per-slot medians split cleanly by ARM (slots 0/3 fast, 1/2 slow) —
+    # the bias rides the STATE buffers' placement, not the executables.
+    # Mid-run, swap states between arm-crossed slot pairs (0↔1, 3↔2) so
+    # each arm's samples average both placements. Only valid when the two
+    # arms' state pytrees match structurally (all kernel levers; NOT e.g.
+    # A3D_NO_FLATTEN) and never under samekeys (it would mix the
+    # per-arm loss trajectories).
+    swap_at = reps // 2 if len(slots) == 4 and not samekeys else -1
+    if swap_at > 0:
+        s0 = jax.tree_util.tree_structure(train_states[0])
+        if any(jax.tree_util.tree_structure(train_states[k]) != s0
+               for k in (1, 2, 3)):
+            swap_at = -1
+            print("[bench] A/B arms have different state structures; "
+                  "state-swap debiasing disabled", file=sys.stderr)
     for i in range(reps):
+        if i == swap_at:
+            train_states[0], train_states[1] = \
+                train_states[1], train_states[0]
+            train_states[3], train_states[2] = \
+                train_states[2], train_states[3]
         # XYYX slot interleave with rotated start — see the recon comment
         for j in range(len(slots)):
             s = (i + j) % len(slots)
@@ -496,7 +519,9 @@ def main():
             t0 = time.time()
             p, o, loss = tc(p, o, tbatch, key, grid)
             train_loss[a] = float(loss) / KT
-            tts[a].append(time.time() - t0)
+            dt_s = time.time() - t0
+            tts[a].append(dt_s)
+            tts_slot[s].append(dt_s)
             train_states[s] = (p, o)
     train_stats = [_stats(ts) for ts in tts]
     t0s = train_stats[0]
@@ -596,6 +621,8 @@ def main():
                       / sA["median_ms"], 4),
             "train_reps_ms_a": [round(x / KT, 1) for x in sA["reps_ms"]],
             "train_reps_ms_b": [round(x / KT, 1) for x in sB["reps_ms"]],
+            "train_slot_ms": [
+                [round(1000 * x / KT, 1) for x in sl] for sl in tts_slot],
             "loss_a": round(train_loss[0], 6), "loss_b": round(train_loss[1], 6),
             "samekeys": samekeys, **rec,
         }))

@@ -114,7 +114,9 @@ def test_integration_get_prior_mesh(monkeypatch):
                               0, jax.random.PRNGKey(7))
         return mesh, sdf
 
-    monkeypatch.delenv("A3D_FUSED_SDF", raising=False)
+    # jitter_rng is passed below (training path), where the fused sweep is
+    # now the DEFAULT — force =0 for the flax oracle arm
+    monkeypatch.setenv("A3D_FUSED_SDF", "0")
     m0, s0 = run()
     monkeypatch.setenv("A3D_FUSED_SDF", "1")
     m1, s1 = run()
@@ -125,10 +127,7 @@ def test_integration_get_prior_mesh(monkeypatch):
                                atol=1e-4)
     # grads through the fused path exist and match
     def loss(p, fused):
-        if fused:
-            monkeypatch.setenv("A3D_FUSED_SDF", "1")
-        else:
-            monkeypatch.delenv("A3D_FUSED_SDF", raising=False)
+        monkeypatch.setenv("A3D_FUSED_SDF", "1" if fused else "0")
         mesh, sdf = mod.apply({"params": p}, grid, v_cap, f_cap,
                               0, jax.random.PRNGKey(7))
         return jnp.sum(jnp.abs(sdf)) * 1e-3 + jnp.sum(mesh.v_pos ** 2)
