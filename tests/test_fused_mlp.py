@@ -141,3 +141,55 @@ def test_integration_get_prior_mesh(monkeypatch):
         np.testing.assert_allclose(np.asarray(b) / scale,
                                    np.asarray(a) / scale, atol=1e-4,
                                    err_msg=jax.tree_util.keystr(pa))
+
+
+def test_fused_training_trajectory_matches_flax(monkeypatch):
+    """The fused sweep is the TRAINING default: K adam steps through
+    get_prior_mesh + marching tets + a mesh loss must track the flax
+    trajectory (CPU f32, identical keys). Guards the default flip — a
+    silent VJP bug would diverge within a few steps (the full model's
+    amplification is ~1e5 over 30 steps, scripts/chaos_probe.py, so even
+    tiny systematic grad errors would blow past this tolerance)."""
+    import optax
+    from animals3d_tpu.geometry import tets as tetlib
+    from animals3d_tpu.geometry.tets import DeviceTetGrid
+    from animals3d_tpu.predictors.base import BasePredictor
+    from animals3d_tpu.predictors.config import (BasePredictorConfig,
+                                                 DINOConfig, ShapeConfig)
+
+    cfg = BasePredictorConfig(
+        cfg_shape=ShapeConfig(grid_res=12, spatial_scale=7.0, num_layers=5,
+                              hidden_size=256, embedder_freq=8,
+                              init_sdf="ellipsoid", jitter_grid=0.05,
+                              symmetrize=True),
+        cfg_dino=DINOConfig(feature_dim=4, num_layers=2, hidden_size=32))
+    mod = BasePredictor(cfg)
+    grid = DeviceTetGrid(tetlib.load_tet_grid(12, data_dir="/tmp/tets_cache"))
+    v_cap, f_cap = 2048, 4096
+    params0 = mod.init(jax.random.PRNGKey(0), grid, v_cap, f_cap,
+                       method=BasePredictor.init_all)["params"]
+    tgt = jnp.asarray(np.random.default_rng(3).normal(
+        size=(1, v_cap, 3)).astype(np.float32)) * 0.1
+
+    def loss_fn(p, key):
+        mesh, sdf = mod.apply({"params": p}, grid, v_cap, f_cap, 0, key)
+        # pull the surface toward a fixed target + keep sdf bounded:
+        # grads flow through marching-tets interpolation into the MLP
+        return (jnp.sum((mesh.v_pos - tgt) ** 2 * mesh.v_valid[None, :, None])
+                + 1e-3 * jnp.sum(sdf ** 2))
+
+    def run(fused):
+        monkeypatch.setenv("A3D_FUSED_SDF", "1" if fused else "0")
+        opt = optax.adam(1e-3)
+        p = params0
+        st = opt.init(p)
+        losses = []
+        for k in range(8):
+            val, g = jax.value_and_grad(loss_fn)(p, jax.random.PRNGKey(k))
+            up, st = opt.update(g, st, p)
+            p = optax.apply_updates(p, up)
+            losses.append(float(val))
+        return losses
+
+    la, lb = run(False), run(True)
+    np.testing.assert_allclose(lb, la, rtol=2e-4)
